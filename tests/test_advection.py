@@ -1,0 +1,97 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wrfchem_arc_interactions_tpu.config import Config, DomainConfig
+from wrfchem_arc_interactions_tpu.config.namelist import BCKind
+from wrfchem_arc_interactions_tpu.dycore import advection as adv
+from wrfchem_arc_interactions_tpu.grid import make_grid
+from wrfchem_arc_interactions_tpu.models.soundings import constant_n2_theta
+from wrfchem_arc_interactions_tpu.parallel.halo import HaloOps
+
+
+def setup(nx, ny=4, nz=4):
+    cfg = Config(domain=DomainConfig(nx=nx, ny=ny, nz=nz, dx=1.0 / nx, dy=1.0))
+    grid = make_grid(cfg, constant_n2_theta())
+    hx = HaloOps(bc_x=BCKind.PERIODIC, bc_y=BCKind.PERIODIC)
+    return cfg, grid, hx
+
+
+def x_advection_error(nx, order):
+    """Error of d/dx flux divergence vs analytic for q = sin(2 pi x), u = 1."""
+    cfg, grid, hx = setup(nx)
+    nz, ny = grid.nz, grid.ny
+    x = (np.arange(nx) + 0.5) / nx
+    q = np.broadcast_to(np.sin(2 * np.pi * x), (nz, ny, nx)).astype(np.float64)
+    ru = np.ones((nz, ny, nx))
+    rv = np.zeros((nz, ny, nx))
+    ww = np.zeros((nz + 1, ny, nx))
+    q_pad = hx.pad(jnp.asarray(q))
+    ru_pad = hx.pad(jnp.asarray(ru))
+    rv_pad = hx.pad(jnp.asarray(rv))
+    tend = np.asarray(adv.advect_scalar(q_pad, ru_pad, rv_pad, jnp.asarray(ww),
+                                        grid, order, 3))
+    exact = -2 * np.pi * np.cos(2 * np.pi * x) * 1.0
+    return np.max(np.abs(tend[0, 0] - exact))
+
+
+@pytest.mark.parametrize("order,rate_min", [(2, 1.8), (3, 2.8), (4, 3.7), (5, 4.6), (6, 5.4)])
+def test_convergence_order(order, rate_min):
+    # high orders need f64 to see the truncation error above roundoff
+    import jax
+    with jax.enable_x64(True):
+        e1 = x_advection_error(32, order)
+        e2 = x_advection_error(64, order)
+    rate = np.log2(e1 / e2)
+    assert rate > rate_min, f"order {order}: observed rate {rate:.2f}"
+
+
+def test_conservation_periodic():
+    """Total scalar mass change must telescope to zero on a periodic box."""
+    cfg, grid, hx = setup(16, ny=8, nz=6)
+    rng = np.random.default_rng(1)
+    nz, ny, nx = 6, 8, 16
+    q = rng.uniform(0.5, 1.5, (nz, ny, nx))
+    ru = rng.normal(size=(nz, ny, nx))
+    rv = rng.normal(size=(nz, ny, nx))
+    ww = rng.normal(size=(nz + 1, ny, nx))
+    ww[0] = ww[-1] = 0.0
+    tend = np.asarray(adv.advect_scalar(
+        hx.pad(jnp.asarray(q)), hx.pad(jnp.asarray(ru)), hx.pad(jnp.asarray(rv)),
+        jnp.asarray(ww), grid, 5, 3))
+    # integral weighted by layer thickness (-dnw)
+    dnw = np.asarray(grid.dnw)
+    total = np.sum(tend * (-dnw[:, None, None]))
+    # telescoping sum: zero up to f32 accumulation noise
+    assert abs(total) < 3e-6 * np.sum(np.abs(tend))
+
+
+def test_pd_limiter_keeps_positive():
+    cfg, grid, hx = setup(32, ny=4, nz=6)
+    nz, ny, nx = 6, 4, 32
+    rng = np.random.default_rng(2)
+    # sharp blob with zeros around it + strong winds: unlimited 5th order
+    # would undershoot below zero
+    q = np.zeros((nz, ny, nx))
+    q[:, :, 10:13] = 1.0
+    mu = np.full((ny, nx), 1.0)
+    u = rng.uniform(0.5, 1.0, (nz, ny, nx)) * nx / 4
+    ru = u  # mu = 1
+    rv = np.zeros((nz, ny, nx))
+    ww = np.zeros((nz + 1, ny, nx))
+    dt = 0.2 / (nx / 4 * nx)  # CFL ~ 0.2... dt * u / dx
+    dt = 0.5 * (1.0 / nx) / np.max(u)
+    q_pad = hx.pad(jnp.asarray(q))
+    ru_pad = hx.pad(jnp.asarray(ru))
+    rv_pad = hx.pad(jnp.asarray(rv))
+    fx, fy, fz = adv.scalar_fluxes(q_pad, ru_pad, rv_pad, jnp.asarray(ww), 5, 3)
+    phi_old = jnp.asarray(q)  # mu=1
+    tend_unlim = adv.flux_div(fx, fy, fz, grid)
+    q_unlim = np.asarray(phi_old + dt * tend_unlim)
+    assert q_unlim.min() < -1e-6  # the limiter has work to do
+    fxl, fyl, fzl = adv.pd_limit(q_pad, phi_old, fx, fy, fz,
+                                 ru_pad, rv_pad, jnp.asarray(ww), dt, grid, hx)
+    q_lim = np.asarray(phi_old + dt * adv.flux_div(fxl, fyl, fzl, grid))
+    assert q_lim.min() > -1e-7
+    # limiter must conserve mass
+    np.testing.assert_allclose(q_lim.sum(), q_unlim.sum(), rtol=1e-6)

@@ -1,0 +1,60 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wrfchem_arc_interactions_tpu.config import Config, DomainConfig, DynamicsConfig, TimeControl
+from wrfchem_arc_interactions_tpu.config.namelist import BCKind
+from wrfchem_arc_interactions_tpu.dycore.solve import step
+from wrfchem_arc_interactions_tpu.models import ideal
+from wrfchem_arc_interactions_tpu.parallel.halo import HaloOps
+
+
+def make_hx(cfg):
+    return HaloOps(bc_x=cfg.dynamics.bc_x, bc_y=cfg.dynamics.bc_y)
+
+
+def run_steps(state, grid, cfg, n, dt):
+    hx = make_hx(cfg)
+    stepper = jax.jit(lambda s: step(s, grid, cfg, hx, dt))
+    for _ in range(n):
+        state = stepper(state)
+    return state
+
+
+def test_quiescent_stays_at_rest():
+    cfg = Config(
+        domain=DomainConfig(nx=24, ny=4, nz=16, dx=2000.0, dy=2000.0,
+                            ztop=16000.0, p_top=10000.0),
+        time_control=TimeControl(dt=10.0),
+    )
+    grid, state = ideal.make_case(cfg, "quiescent")
+    out = run_steps(state, grid, cfg, 10, cfg.time_control.dt)
+    for name in ("u", "v", "w"):
+        m = float(jnp.max(jnp.abs(out[name])))
+        assert m < 5e-3, f"{name} grew to {m}"
+    assert float(jnp.max(jnp.abs(out["t"] - state["t"]))) < 1e-2
+    assert float(jnp.max(jnp.abs(out["mu"] - state["mu"]))) < 1.0
+    for name, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), name
+
+
+def test_warm_bubble_rises():
+    cfg = Config(
+        domain=DomainConfig(nx=40, ny=4, nz=20, dx=500.0, dy=500.0,
+                            ztop=10000.0, p_top=26000.0),
+        time_control=TimeControl(dt=3.0),
+    )
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0,
+                                  zc=1500.0, xr=2000.0, zr=1000.0)
+    out = run_steps(state, grid, cfg, 60, cfg.time_control.dt)  # 3 minutes
+    w = np.asarray(out["w"])
+    assert np.isfinite(w).all()
+    assert w.max() > 0.5, f"bubble failed to rise: w_max={w.max()}"
+    # updraft should sit above the initial bubble center in the middle
+    kmax, jmax, imax = np.unravel_index(np.argmax(w), w.shape)
+    assert 10 <= imax <= 30
+    # mass conservation: domain-total mu drift tiny
+    mu0 = float(jnp.sum(state["mu"]))
+    mu1 = float(jnp.sum(out["mu"]))
+    assert abs(mu1 - mu0) < 1e-2 * state["mu"].size + 50.0

@@ -1,0 +1,235 @@
+"""Run-time configuration tree — the `namelist.input` equivalent.
+
+The reference parses `namelist.input` into a Registry-generated
+`model_config_rec` (canonical WRF: `frame/module_configure.F`; SURVEY.md §5.6)
+with groups &time_control, &domains, &physics, &dynamics, &chem.  Here the
+same role is played by a tree of frozen (hashable) dataclasses so a `Config`
+can be closed over by / passed as a static argument to `jax.jit`: every flag
+choice compiles a specialised XLA program, the TPU analog of the reference's
+option-gated Fortran branches.
+
+Option values deliberately mirror the reference's namelist vocabulary
+(e.g. ``mp_physics``, ``ra_sw_physics``, ``aer_ra_feedback``, ``chem_opt``,
+``diff_opt``/``km_opt``, ``moist_adv_opt``) so a WRF-Chem user can map their
+namelist onto this config one field at a time; integer option codes are
+replaced by enums/strings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class BCKind(str, enum.Enum):
+    """Lateral boundary condition kind per axis (share/module_bc.F analog)."""
+
+    PERIODIC = "periodic"
+    OPEN = "open"          # radiative outflow / zero-gradient inflow
+    SYMMETRIC = "symmetric"
+
+
+class MPScheme(str, enum.Enum):
+    """Microphysics option (`mp_physics`)."""
+
+    NONE = "none"
+    KESSLER = "kessler"            # warm rain (mp_physics=1)
+    MORRISON2 = "morrison2"        # 2-moment, prognostic Nc for ARC (mp_physics=10)
+
+
+class RAScheme(str, enum.Enum):
+    """Radiation option (`ra_sw_physics` / `ra_lw_physics`)."""
+
+    NONE = "none"
+    RRTMG = "rrtmg"                # ra_*_physics=4
+    SIMPLE = "simple"              # Dudhia-SW / gray-LW style cheap scheme
+
+
+class PBLScheme(str, enum.Enum):
+    NONE = "none"
+    YSU = "ysu"                    # bl_pbl_physics=1
+
+
+class CUScheme(str, enum.Enum):
+    NONE = "none"                  # convection-permitting (cu_physics=0)
+
+
+class SFScheme(str, enum.Enum):
+    NONE = "none"
+    REVISED_MM5 = "revised_mm5"    # sf_sfclay_physics=1 analog + slab LSM
+
+
+class AdvOrder(int, enum.Enum):
+    """Horizontal advection order (h_sca_adv_order / h_mom_adv_order)."""
+
+    SECOND = 2
+    THIRD = 3
+    FOURTH = 4
+    FIFTH = 5
+    SIXTH = 6
+
+
+class AdvLimiter(str, enum.Enum):
+    """Scalar advection limiter (moist_adv_opt / chem_adv_opt analog)."""
+
+    NONE = "none"
+    POSITIVE_DEFINITE = "pd"       # moist_adv_opt=1
+    MONOTONIC = "mono"             # moist_adv_opt=2
+
+
+class DiffOpt(str, enum.Enum):
+    NONE = "none"
+    SIMPLE = "simple"              # diff_opt=1: 2nd order on coordinate surfaces
+    FULL = "full"                  # diff_opt=2: physical-space
+
+
+class KMOpt(str, enum.Enum):
+    CONSTANT = "constant"          # km_opt=1
+    SMAGORINSKY_3D = "smag3d"      # km_opt=3
+    SMAGORINSKY_2D = "smag2d"      # km_opt=4 (horizontal only; PBL does vertical)
+    TKE_15 = "tke"                 # km_opt=2: 1.5-order TKE closure
+
+
+class ChemOpt(str, enum.Enum):
+    """Chemistry package (`chem_opt`)."""
+
+    NONE = "none"
+    MOSAIC_4BIN = "mosaic_4bin"        # aerosol-only MOSAIC, 4 sectional bins
+    MOSAIC_8BIN = "mosaic_8bin"
+    CBMZ_MOSAIC_4BIN = "cbmz_mosaic_4bin"  # gas-phase CBMZ + 4-bin MOSAIC
+    CBMZ_MOSAIC_8BIN = "cbmz_mosaic_8bin"
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeControl:
+    """&time_control analog."""
+
+    dt: float = 6.0                    # model timestep [s] (time_step)
+    run_seconds: float = 3600.0
+    history_interval_s: float = 600.0
+    restart_interval_s: float = 0.0    # 0 => no restart writes
+    restart: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DomainConfig:
+    """&domains analog: grid dimensions and spacing (single domain; nesting
+    is out of scope per SURVEY.md §2.5 'Nest concurrency')."""
+
+    nx: int = 64                       # mass points west-east  (e_we-1)
+    ny: int = 64                       # mass points south-north (e_sn-1)
+    nz: int = 40                       # mass levels             (e_vert-1)
+    dx: float = 1000.0                 # [m]
+    dy: float = 1000.0                 # [m]
+    ztop: float = 20000.0              # model top height for ideal eta levels [m]
+    p_top: float = 5000.0              # pressure at model top [Pa]
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """&physics analog."""
+
+    mp_physics: MPScheme = MPScheme.KESSLER
+    ra_sw_physics: RAScheme = RAScheme.NONE
+    ra_lw_physics: RAScheme = RAScheme.NONE
+    radt_s: float = 600.0              # radiation call interval [s] (radt, in s not min)
+    bl_pbl_physics: PBLScheme = PBLScheme.NONE
+    sf_sfclay_physics: SFScheme = SFScheme.NONE
+    cu_physics: CUScheme = CUScheme.NONE
+    progn: bool = False                # prognostic droplet number (ARC indirect effect)
+    num_land_cat: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class DynamicsConfig:
+    """&dynamics analog."""
+
+    rk_order: int = 3
+    time_step_sound: int = 4           # acoustic substeps per dt (0 => auto)
+    h_mom_adv_order: AdvOrder = AdvOrder.FIFTH
+    v_mom_adv_order: AdvOrder = AdvOrder.THIRD
+    h_sca_adv_order: AdvOrder = AdvOrder.FIFTH
+    v_sca_adv_order: AdvOrder = AdvOrder.THIRD
+    moist_adv_opt: AdvLimiter = AdvLimiter.POSITIVE_DEFINITE
+    chem_adv_opt: AdvLimiter = AdvLimiter.POSITIVE_DEFINITE
+    diff_opt: DiffOpt = DiffOpt.SIMPLE
+    km_opt: KMOpt = KMOpt.SMAGORINSKY_3D
+    khdif: float = 0.0                 # background horizontal diffusivity [m2/s]
+    kvdif: float = 0.0
+    smdiv: float = 0.1                 # divergence damping coefficient
+    emdiv: float = 0.01                # external-mode filter coefficient
+    epssm: float = 0.1                 # acoustic time off-centering beta
+    w_damping: bool = True
+    damp_opt: int = 3                  # 3: Rayleigh w-damping layer (implicit)
+    zdamp: float = 5000.0              # depth of damping layer [m]
+    dampcoef: float = 0.2
+    diff_6th_opt: int = 0              # 0 off, 1 on, 2 monotonic
+    diff_6th_factor: float = 0.12
+    mix_full_fields: bool = True
+    bc_x: BCKind = BCKind.PERIODIC
+    bc_y: BCKind = BCKind.PERIODIC
+
+
+@dataclasses.dataclass(frozen=True)
+class ChemConfig:
+    """&chem analog — the knobs the ARC-Interactions scenario repo varies
+    between paired runs (SURVEY.md §0.1, §5.6)."""
+
+    chem_opt: ChemOpt = ChemOpt.NONE
+    chemdt_s: float = 60.0             # chemistry call interval [s]
+    aer_ra_feedback: bool = False      # aerosol direct effect on radiation
+    wetscav_onoff: bool = False
+    cldchem_onoff: bool = False
+    vertmix_onoff: bool = True
+    gaschem_onoff: bool = True
+    aerchem_onoff: bool = True
+    phot_opt: bool = True
+    drydep_opt: bool = True
+    emiss_opt: bool = False
+    aer_op_opt: int = 1                # 1: volume-mixing Mie; 2: Maxwell-Garnett; 3: core-shell
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout (the RSL_LITE `nproc_x`/`nproc_y` analog)."""
+
+    mesh_x: int = 1                    # devices along west-east
+    mesh_y: int = 1                    # devices along south-north
+    halo_fuse: bool = True             # pack same-shape fields into one exchange
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    time_control: TimeControl = TimeControl()
+    domain: DomainConfig = DomainConfig()
+    physics: PhysicsConfig = PhysicsConfig()
+    dynamics: DynamicsConfig = DynamicsConfig()
+    chem: ChemConfig = ChemConfig()
+    parallel: ParallelConfig = ParallelConfig()
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_acoustic(self) -> int:
+        """Acoustic substeps per RK step (time_step_sound; auto = 4 like WRF's
+        default guidance dt[s] <= 6*dx[km] with 4 sound steps)."""
+        ns = self.dynamics.time_step_sound
+        if ns <= 0:
+            ns = max(4, 2 * int(self.time_control.dt / (self.domain.dx / 1000.0) / 2 + 1))
+        # forward-backward acoustic integration needs an even count on the
+        # full-dt stage so the 3-stage RK divides it as ns/3(>=1), ns/2, ns
+        return ns + (ns % 2)
+
+    def moist_species(self) -> Tuple[str, ...]:
+        mp = self.physics.mp_physics
+        if mp == MPScheme.NONE:
+            return ("qv",)
+        if mp == MPScheme.KESSLER:
+            return ("qv", "qc", "qr")
+        if mp == MPScheme.MORRISON2:
+            # mass: vapor, cloud, rain, ice, snow, graupel; number: cloud (if
+            # progn), rain, ice, snow, graupel — Morrison 2-moment set.
+            return ("qv", "qc", "qr", "qi", "qs", "qg", "nc", "nr", "ni", "ns", "ng")
+        raise ValueError(mp)

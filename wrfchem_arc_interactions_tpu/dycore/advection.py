@@ -1,0 +1,265 @@
+"""Finite-volume flux advection operators (2nd-6th order, upwind-biased odd
+orders) on the Arakawa-C grid, plus the positive-definite flux limiter.
+
+Capability surface of canonical dyn_em/module_advect_em.F (SURVEY.md §2.1
+'FV advection'): `advect_scalar`, `advect_u/v/w`, `pd_limit` for
+`advect_scalar_pd`.  The ARW default — 5th-order horizontal, 3rd-order
+vertical — is the tested hot path.
+
+Discretisation notes:
+
+- Fields are (nz, ny, nx); horizontal stencils consume PAD(=3)-padded
+  arrays and emit face arrays with one extra point (nx+1 or ny+1 faces) so
+  the flux divergence is an exact telescoping difference — machine-precision
+  conservation, verified in tests.
+- Mass fluxes are the coupled ru = mu_u*u [Pa m s-1] at u faces, rv at v
+  faces, and omega = mu*eta_dot [Pa s-1] at w levels (ww); scalar fluxes are
+  vel * q_hat with q_hat the order-dependent face interpolation of the
+  *uncoupled* scalar.
+- Odd orders are the even-order flux plus an upwind dissipation term scaled
+  by |vel| (Wicker & Skamarock 2002) — branchless, so one fused VPU loop.
+- Vertical fluxes use edge-replicated ghost values near the boundaries
+  (order degrades gracefully there, as the reference degrades to one-sided
+  stencils); boundary face fluxes vanish because omega = 0 at eta = 0, 1.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.ops.stencil import avg_z_centers_to_faces, win
+
+
+# ---------------------------------------------------------------------------
+# Face-flux formulas. `qm1` is the cell just upwind of the face for vel > 0,
+# `q0` just downwind (i.e. face sits between qm1 and q0).
+# ---------------------------------------------------------------------------
+
+def flux1(vel, qm1, q0):
+    return vel * jnp.where(vel > 0, qm1, q0)
+
+
+def flux2(vel, qm1, q0):
+    return vel * 0.5 * (q0 + qm1)
+
+
+def flux4(vel, qm2, qm1, q0, qp1):
+    return vel * (7.0 * (q0 + qm1) - (qp1 + qm2)) * (1.0 / 12.0)
+
+
+def flux3(vel, qm2, qm1, q0, qp1):
+    return flux4(vel, qm2, qm1, q0, qp1) - jnp.abs(vel) * (
+        3.0 * (q0 - qm1) - (qp1 - qm2)) * (1.0 / 12.0)
+
+
+def flux6(vel, qm3, qm2, qm1, q0, qp1, qp2):
+    return vel * (37.0 * (q0 + qm1) - 8.0 * (qp1 + qm2) + (qp2 + qm3)) * (1.0 / 60.0)
+
+
+def flux5(vel, qm3, qm2, qm1, q0, qp1, qp2):
+    return flux6(vel, qm3, qm2, qm1, q0, qp1, qp2) - jnp.abs(vel) * (
+        10.0 * (q0 - qm1) - 5.0 * (qp1 - qm2) + (qp2 - qm3)) * (1.0 / 60.0)
+
+
+def _hflux(vel, stencil, order: int):
+    """Apply the order-`order` flux formula to a 6-point stencil tuple
+    (qm3..qp2) of equally-shaped arrays."""
+    qm3, qm2, qm1, q0, qp1, qp2 = stencil
+    if order == 1:
+        return flux1(vel, qm1, q0)
+    if order == 2:
+        return flux2(vel, qm1, q0)
+    if order == 3:
+        return flux3(vel, qm2, qm1, q0, qp1)
+    if order == 4:
+        return flux4(vel, qm2, qm1, q0, qp1)
+    if order == 5:
+        return flux5(vel, qm3, qm2, qm1, q0, qp1, qp2)
+    if order == 6:
+        return flux6(vel, qm3, qm2, qm1, q0, qp1, qp2)
+    raise ValueError(order)
+
+
+def _stencil_x(q_pad, ex=1, dy=0, ey=0):
+    """6-point x stencil around west faces: face f sits between cells f-1, f."""
+    return tuple(win(q_pad, dy, m, ey=ey, ex=ex) for m in (-3, -2, -1, 0, 1, 2))
+
+
+def _stencil_y(q_pad, ey=1, dx=0, ex=0):
+    return tuple(win(q_pad, m, dx, ey=ey, ex=ex) for m in (-3, -2, -1, 0, 1, 2))
+
+
+def _zpad(q, n=2):
+    """Edge-replicate ghost levels above/below along leading z axis."""
+    top = jnp.repeat(q[-1:], n, axis=0)
+    bot = jnp.repeat(q[:1], n, axis=0)
+    return jnp.concatenate([bot, q, top], axis=0)
+
+
+def _stencil_z(q, nfaces: int):
+    """Stencil tuple for vertical faces k = 0..nfaces-1 where face k sits
+    between levels k-1 and k of `q`."""
+    qe = _zpad(q, 3)
+    # face k: qm1 = q[k-1] = qe[k+2], q0 = q[k] = qe[k+3]
+    return tuple(qe[3 + m: 3 + m + nfaces] for m in (-3, -2, -1, 0, 1, 2))
+
+
+def vflux(vel_faces, q, order: int):
+    """Vertical fluxes at the `vel_faces.shape[0]` faces of levels of q,
+    face k between q[k-1] and q[k]."""
+    return _hflux(vel_faces, _stencil_z(q, vel_faces.shape[0]), order)
+
+
+# ---------------------------------------------------------------------------
+# Flux divergence
+# ---------------------------------------------------------------------------
+
+def flux_div(fx, fy, fz, grid: Grid) -> jax.Array:
+    """-(d/dx Fx + d/dy Fy + d/eta Fz): the coupled-scalar tendency.
+
+    fx: (nz, ny, nx+1) at west faces (+ east boundary face),
+    fy: (nz, ny+1, nx), fz: (nz+1, ny, nx) at w levels.
+    """
+    rdnw = grid.rdnw.reshape(-1, 1, 1)
+    return -((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
+             + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy
+             + (fz[1:] - fz[:-1]) * rdnw)
+
+
+def scalar_fluxes(q_pad, ru_pad, rv_pad, ww, h_order: int, v_order: int):
+    """Fluxes of an uncoupled mass-point scalar. q_pad/ru_pad/rv_pad are
+    PAD-padded; ww is the unpadded (nz+1, ny, nx) omega."""
+    fx = _hflux(win(ru_pad, 0, 0, ex=1), _stencil_x(q_pad), h_order)
+    fy = _hflux(win(rv_pad, 0, 0, ey=1), _stencil_y(q_pad), v_order_to_h(h_order))
+    fz = vflux(ww, win(q_pad, 0, 0), v_order)
+    # omega vanishes at the rigid eta boundaries; enforce exactly.
+    fz = fz.at[0].set(0.0).at[-1].set(0.0)
+    return fx, fy, fz
+
+
+def v_order_to_h(h_order: int) -> int:
+    # y direction uses the same order as x
+    return h_order
+
+
+def advect_scalar(q_pad, ru_pad, rv_pad, ww, grid: Grid,
+                  h_order: int = 5, v_order: int = 3) -> jax.Array:
+    fx, fy, fz = scalar_fluxes(q_pad, ru_pad, rv_pad, ww, h_order, v_order)
+    return flux_div(fx, fy, fz, grid)
+
+
+# ---------------------------------------------------------------------------
+# Momentum advection. Control volumes are centred on the staggered points;
+# mass fluxes are averaged to the CV faces (canonical advect_u/v/w).
+# ---------------------------------------------------------------------------
+
+def advect_u(u_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
+             h_order: int = 5, v_order: int = 3) -> jax.Array:
+    """Tendency of coupled U at u faces. All horizontal args PAD-padded;
+    ww_pad is (nz+1, ny+2P, nx+2P)."""
+    # x fluxes at mass centers c = -1..nx-1 (the u-CV faces)
+    vel_c = 0.5 * (win(ru_pad, 0, -1, ex=1) + win(ru_pad, 0, 0, ex=1))
+    fx = _hflux(vel_c, _stencil_x(u_pad), h_order)
+    # y fluxes at corners (j-1/2, i-1/2)
+    vel_k = 0.5 * (win(rv_pad, 0, -1, ey=1) + win(rv_pad, 0, 0, ey=1))
+    fy = _hflux(vel_k, _stencil_y(u_pad), h_order)
+    # z fluxes at (w-level, u-face)
+    ww_u = 0.5 * (win(ww_pad, 0, -1) + win(ww_pad, 0, 0))
+    fz = vflux(ww_u, win(u_pad, 0, 0), v_order)
+    fz = fz.at[0].set(0.0).at[-1].set(0.0)
+    return flux_div(fx, fy, fz, grid)
+
+
+def advect_v(v_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
+             h_order: int = 5, v_order: int = 3) -> jax.Array:
+    vel_k = 0.5 * (win(ru_pad, -1, 0, ex=1) + win(ru_pad, 0, 0, ex=1))
+    fx = _hflux(vel_k, _stencil_x(v_pad), h_order)
+    vel_c = 0.5 * (win(rv_pad, -1, 0, ey=1) + win(rv_pad, 0, 0, ey=1))
+    fy = _hflux(vel_c, _stencil_y(v_pad), h_order)
+    ww_v = 0.5 * (win(ww_pad, -1, 0) + win(ww_pad, 0, 0))
+    fz = vflux(ww_v, win(v_pad, 0, 0), v_order)
+    fz = fz.at[0].set(0.0).at[-1].set(0.0)
+    return flux_div(fx, fy, fz, grid)
+
+
+def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
+             h_order: int = 5, v_order: int = 3) -> jax.Array:
+    """Tendency of coupled W at w levels (nz+1). Vertical CV spans mass
+    levels; the surface level k=0 is boundary-determined (tendency zeroed by
+    the caller)."""
+    fnm, fnp = grid.fnm, grid.fnp
+    ru_w = avg_z_centers_to_faces(win(ru_pad, 0, 0, ex=1), fnm, fnp)
+    fx = _hflux(ru_w, _stencil_x(w_pad), h_order)
+    rv_w = avg_z_centers_to_faces(win(rv_pad, 0, 0, ey=1), fnm, fnp)
+    fy = _hflux(rv_w, _stencil_y(w_pad), h_order)
+    # vertical flux of w at mass levels: omega averaged to centers
+    om_c = 0.5 * (ww[:-1] + ww[1:])                     # (nz, ny, nx)
+    w_int = win(w_pad, 0, 0)                            # (nz+1, ny, nx)
+    fz_c = vflux(om_c, w_int[1:], v_order)              # faces between w levels k, k+1
+    # divergence at w level k uses fluxes at mass levels k-1, k over dn[k]
+    zeros = jnp.zeros_like(fz_c[:1])
+    fz_lo = jnp.concatenate([zeros, fz_c], axis=0)      # (nz+1, ...): below level k
+    fz_hi = jnp.concatenate([fz_c, zeros], axis=0)      # above level k
+    rdn_w = jnp.concatenate([grid.rdn[1:], -1.0 / grid.znu[-1:]]).reshape(-1, 1, 1)
+    dfz = jnp.concatenate([
+        jnp.zeros_like(fz_c[:1]),
+        (fz_hi[1:] - fz_lo[1:]) * rdn_w,
+    ], axis=0)
+    return -((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
+             + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy) - dfz
+
+
+# ---------------------------------------------------------------------------
+# Positive-definite limiter (Skamarock 2006; canonical advect_scalar_pd)
+# ---------------------------------------------------------------------------
+
+def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
+             dt: float, grid: Grid, hx) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Renormalise high-order fluxes so the coupled scalar stays >= 0.
+
+    phi_old = mu^t * q^t (coupled, interior); (fx, fy, fz) are the
+    high-order fluxes. Returns limited fluxes. `hx` is the HaloOps for the
+    one-cell exchange of the renormalisation factor.
+    """
+    q_int = win(q_pad, 0, 0)
+    # low-order (1st upwind) fluxes
+    lx = flux1(win(ru_pad, 0, 0, ex=1), win(q_pad, 0, -1, ex=1), win(q_pad, 0, 0, ex=1))
+    ly = flux1(win(rv_pad, 0, 0, ey=1), win(q_pad, -1, 0, ey=1), win(q_pad, 0, 0, ey=1))
+    lz = vflux(ww, q_int, 1)
+    lz = lz.at[0].set(0.0).at[-1].set(0.0)
+    # first-order transported solution (non-negative for CFL < 1)
+    phi_td = phi_old + dt * flux_div(lx, ly, lz, grid)
+    phi_td = jnp.maximum(phi_td, 0.0)
+    # antidiffusive fluxes
+    ax, ay, az = fx - lx, fy - ly, fz - lz
+    rdnw = grid.rdnw.reshape(-1, 1, 1)
+    # total outgoing antidiffusive mass per cell (in phi units over dt)
+    out_x = jnp.maximum(ax[:, :, 1:], 0.0) - jnp.minimum(ax[:, :, :-1], 0.0)
+    out_y = jnp.maximum(ay[:, 1:, :], 0.0) - jnp.minimum(ay[:, :-1, :], 0.0)
+    # eta flux divergence has a negative metric (rdnw < 0): outgoing mass in
+    # phi units is dt * max(-(az[k+1]-az[k])*rdnw_contrib, 0) per face; split
+    # per-face with the sign of the face contribution to -div.
+    up_c = -az[1:] * rdnw    # contribution of upper face to +d(phi)/dt
+    lo_c = az[:-1] * rdnw    # contribution of lower face
+    out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
+    p_out = dt * (out_x * grid.rdx + out_y * grid.rdy + out_z)
+    r = jnp.where(p_out > 0.0, jnp.minimum(1.0, phi_td / jnp.maximum(p_out, 1e-30)), 1.0)
+    r_pad = hx.pad(r, 1)
+    rw = lambda dy, dx, ey=0, ex=0: win(r_pad, dy, dx, ey=ey, ex=ex, pad=1)
+    # donor-cell scaling: a face's antidiffusive flux is limited by the cell
+    # it drains (the upwind cell w.r.t. the sign of the antidiffusive flux)
+    ax_l = ax * jnp.where(ax > 0, rw(0, -1, ex=1), rw(0, 0, ex=1))
+    ay_l = ay * jnp.where(ay > 0, rw(-1, 0, ey=1), rw(0, 0, ey=1))
+    r_int = r
+    r_ze = _zpad(r_int, 1)
+    r_lo = r_ze[0:az.shape[0]]      # level k-1 for face k
+    r_hi = r_ze[1:az.shape[0] + 1]  # level k
+    # eta increases downward, so positive az at face k transports mass
+    # downward, draining the upper cell k (donor); negative az drains the
+    # lower cell k-1.
+    az_l = az * jnp.where(az > 0, r_hi, r_lo)
+    return lx + ax_l, ly + ay_l, lz + az_l

@@ -1,0 +1,161 @@
+"""Large-timestep RHS terms: pressure gradient, buoyancy, Coriolis, omega
+diagnosis, geopotential advection (canonical:
+dyn_em/module_big_step_utilities_em.F + the tendency assembly of
+module_em.F rk_tendency; SURVEY.md §2.1).
+
+All horizontal-stencil inputs are PAD-padded arrays (see ops.stencil);
+outputs are interior-sized *coupled* tendencies.  Flat map factors (ideal
+cases: msft = 1) and f-plane Coriolis; curvature terms are out of round-1
+scope and documented as such.
+
+Perturbation arrangement for f32 accuracy: horizontal gradients act on
+perturbation p' and phi' (the base state is horizontally uniform, so
+d/dx p = d/dx p'); the vertical d(p)/d(eta) splits as mu_bar + d(p')/d(eta)
+since the base state satisfies d(pb)/d(eta) = mub exactly on eta levels.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.dycore.diagnostics import ddz_center, ddz_faces
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.ops.stencil import avg_z_centers_to_faces, win
+
+
+def avg_x_to_u(a_pad, **kw):
+    """Mass-point field -> u-face (i-1/2) average."""
+    return 0.5 * (win(a_pad, 0, -1, **kw) + win(a_pad, 0, 0, **kw))
+
+
+def avg_y_to_v(a_pad, **kw):
+    return 0.5 * (win(a_pad, -1, 0, **kw) + win(a_pad, 0, 0, **kw))
+
+
+def pgf_uv(p_pert_pad, ph_pert_pad, al_full_pad, eps_pad, mu_full_pad,
+           grid: Grid) -> Tuple[jax.Array, jax.Array]:
+    """Horizontal pressure-gradient force for the coupled U and V equations:
+
+      F_U = -mu_d alpha d(p')/dx - (alpha/alpha_d) [mu_bar + d(p')/d(eta)] d(phi')/dx
+
+    with alpha the full *moist* specific volume (alpha = eps * alpha_d) per
+    the ARW momentum equations.  Returns interior (nz, ny, nx) tendencies at
+    u and v faces.
+    """
+    rdx, rdy = grid.rdx, grid.rdy
+    mub = grid.mub  # interior (ny, nx) — base state horizontally uniform
+
+    al_moist_pad = eps_pad * al_full_pad
+
+    dpdx = (win(p_pert_pad, 0, 0) - win(p_pert_pad, 0, -1)) * rdx
+    mu_u = avg_x_to_u(mu_full_pad)
+    al_u = avg_x_to_u(al_moist_pad)
+    t1_u = -mu_u[None] * al_u * dpdx
+
+    # d(p')/d(eta) at mass levels, averaged to u faces
+    dpdn = ddz_center(win(p_pert_pad, 0, -1, ex=1), grid.znu)
+    dpdn_u = 0.5 * (dpdn[..., :-1] + dpdn[..., 1:])
+    # d(phi')/dx at w levels on u faces -> average to mass levels
+    dphdx_w = (win(ph_pert_pad, 0, 0) - win(ph_pert_pad, 0, -1)) * rdx
+    dphdx = 0.5 * (dphdx_w[:-1] + dphdx_w[1:])
+    eps_u = avg_x_to_u(eps_pad)
+    t2_u = -eps_u * (mub[None] + dpdn_u) * dphdx
+
+    dpdy = (win(p_pert_pad, 0, 0) - win(p_pert_pad, -1, 0)) * rdy
+    mu_v = avg_y_to_v(mu_full_pad)
+    al_v = avg_y_to_v(al_moist_pad)
+    t1_v = -mu_v[None] * al_v * dpdy
+
+    dpdn_y = ddz_center(win(p_pert_pad, -1, 0, ey=1), grid.znu)
+    dpdn_v = 0.5 * (dpdn_y[:, :-1, :] + dpdn_y[:, 1:, :])
+    dphdy_w = (win(ph_pert_pad, 0, 0) - win(ph_pert_pad, -1, 0)) * rdy
+    dphdy = 0.5 * (dphdy_w[:-1] + dphdy_w[1:])
+    eps_v = avg_y_to_v(eps_pad)
+    t2_v = -eps_v * (mub[None] + dpdn_v) * dphdy
+
+    return t1_u + t2_u, t1_v + t2_v
+
+
+def buoyancy_w(p_pert, eps, mu_pert, grid: Grid) -> jax.Array:
+    """g [ (alpha/alpha_d) d(p)/d(eta) - mu_d ] at w levels, in the
+    perturbation arrangement g [ eps*dp'/deta + mub*(eps - 1) - mu' ].
+
+    Unpadded inputs (column-local).  Returns (nz+1, ny, nx); the surface
+    level is zeroed (w(0) is boundary-determined).
+    """
+    from wrfchem_arc_interactions_tpu.utils.constants import G
+    dpdn_w = ddz_faces(p_pert, grid)                     # (nz+1,...)
+    eps_w = avg_z_centers_to_faces(eps, grid.fnm, grid.fnp)
+    buoy = G * (eps_w * dpdn_w + grid.mub[None] * (eps_w - 1.0) - mu_pert[None])
+    return buoy.at[0].set(0.0)
+
+
+def coriolis_uv(u_pad, v_pad, mu_full_pad, grid: Grid) -> Tuple[jax.Array, jax.Array]:
+    """f-plane Coriolis for coupled U, V: +mu_u f v_bar_u, -mu_v f u_bar_v
+    (4-point averages of the opposing wind to the staggered point)."""
+    f = grid.f[None]
+    # v averaged to u points: mean of v[j], v[j+1] at i-1, i
+    v_at_u = 0.25 * (win(v_pad, 0, -1) + win(v_pad, 1, -1)
+                     + win(v_pad, 0, 0) + win(v_pad, 1, 0))
+    u_at_v = 0.25 * (win(u_pad, -1, 0) + win(u_pad, -1, 1)
+                     + win(u_pad, 0, 0) + win(u_pad, 0, 1))
+    mu_u = avg_x_to_u(mu_full_pad)[None]
+    mu_v = avg_y_to_v(mu_full_pad)[None]
+    return mu_u * f * v_at_u, -mu_v * f * u_at_v
+
+
+def omega_diagnosis(ru_pad, rv_pad, grid: Grid, hx) -> Tuple[jax.Array, jax.Array]:
+    """Diagnose (d(mu)/dt, omega at w levels) from the coupled mass fluxes
+    via the continuity equation (canonical: the ww/wdtn computation in
+    solve_em/advance_mu_t).
+
+    Level divergence D[k] = dx(ru) + dy(rv); column mass tendency
+    dmu/dt = + sum_k dnw[k] D[k]; omega integrates
+    d(omega)/d(eta) = -(dmu/dt + D) upward from omega(surface) = 0, which
+    closes exactly at the top (omega(0) = 0) by construction.
+    """
+    div = ((win(ru_pad, 0, 1) - win(ru_pad, 0, 0)) * grid.rdx
+           + (win(rv_pad, 1, 0) - win(rv_pad, 0, 0)) * grid.rdy)
+    dnw = grid.dnw.reshape(-1, 1, 1)
+    dmudt = jnp.sum(dnw * div, axis=0)
+    incr = dnw * (-dmudt[None] - div)
+    om = jnp.cumsum(incr, axis=0)
+    ww = jnp.concatenate([jnp.zeros_like(om[:1]), om], axis=0)
+    return dmudt, ww
+
+
+def rphi_tendency(u_pad, v_pad, ph_pert_pad, w, ww, mu_full, grid: Grid) -> jax.Array:
+    """R_phi = -(1/mu_d)[ U d(phi)/dx + V d(phi)/dy + omega d(phi)/d(eta)
+    - g W ] at w levels; the advective-form geopotential equation.
+
+    u_pad/v_pad here are the *coupled* U, V (PAD-padded); w, ww, mu_full
+    are interior.  d(phi)/dx is the perturbation gradient (flat base).
+    Surface level (k=0) is zeroed: phi_sfc is time-invariant.
+    """
+    from wrfchem_arc_interactions_tpu.utils.constants import G
+    fnm, fnp = grid.fnm, grid.fnp
+    # U at (u-face, w-level); product with d(phi')/dx there; avg back to mass x
+    u_w = avg_z_centers_to_faces(win(u_pad, 0, 0, ex=1), fnm, fnp)
+    dphdx_w = (win(ph_pert_pad, 0, 0, ex=1) - win(ph_pert_pad, 0, -1, ex=1)) * grid.rdx
+    adv_x = 0.5 * (u_w[..., :-1] * dphdx_w[..., :-1] + u_w[..., 1:] * dphdx_w[..., 1:])
+
+    v_w = avg_z_centers_to_faces(win(v_pad, 0, 0, ey=1), fnm, fnp)
+    dphdy_w = (win(ph_pert_pad, 0, 0, ey=1) - win(ph_pert_pad, -1, 0, ey=1)) * grid.rdy
+    adv_y = 0.5 * (v_w[:, :-1, :] * dphdy_w[:, :-1, :] + v_w[:, 1:, :] * dphdy_w[:, 1:, :])
+
+    # omega * d(phi)/d(eta) at w levels (central in eta over full levels)
+    ph = win(ph_pert_pad, 0, 0)
+    znw = grid.znw.reshape(-1, 1, 1)
+    dphdn_int = (ph[2:] - ph[:-2]) / (znw[2:] - znw[:-2])
+    dphdn_top = (ph[-1:] - ph[-2:-1]) / (znw[-1:] - znw[-2:-1])
+    # include the base-state part: d(phb)/d(eta) = -mub*alb (at w levels)
+    alb_w = avg_z_centers_to_faces(grid.alb, fnm, fnp)
+    dphbdn = -grid.mub[None] * alb_w
+    dphdn = jnp.concatenate([jnp.zeros_like(ph[:1]), dphdn_int, dphdn_top], axis=0) + dphbdn
+    adv_z = ww * dphdn
+
+    rphi = (-(adv_x + adv_y + adv_z) + G * w) / mu_full[None]
+    return rphi.at[0].set(0.0)

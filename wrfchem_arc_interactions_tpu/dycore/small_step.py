@@ -1,0 +1,180 @@
+"""Acoustic (small) substeps: forward-backward horizontal integration +
+vertically implicit w-geopotential solve (canonical:
+dyn_em/module_small_step_em.F — small_step_prep / advance_uv / advance_mu_t /
+advance_w; SURVEY.md §2.1 'Acoustic (small) steps', §3.2).
+
+Formulation (re-derived from the ARW flux-form equations; the linearisation
+grouping follows Klemp-Skamarock-Dudhia 2007 in spirit, with products of two
+acoustic perturbations dropped):
+
+Perturbations X'' are relative to the RK-stage reference state (suffix
+`_ref`); the loop starts from X''(0) = X(t0) - X_ref so that after the
+substeps X_ref + X'' realises the RK stage update plus the fast-wave
+integral.  Per substep dtau:
+
+1. EOS linearisation (the mu'' terms cancel exactly):
+     p'' = (gamma p_ref / Theta_ref) Theta''            [coef_pt]
+         + (gamma p_ref rdnw / (alpha_ref mu_ref)) dphi''   [s]
+   Divergence damping uses p''_d = p'' + smdiv (p'' - p''_prev).
+2. Forward U'', V'' update with the linearised horizontal PGF.
+3. Column mass mu'' and the perturbation omega'' by vertical integration of
+   the new divergence (closes exactly at the top).
+4. Forward Theta'' update advecting the reference theta with the new
+   acoustic winds.
+5. Implicit W''-phi'' solve: eliminating phi''(new) and p''(new) yields a
+   tridiagonal system in W''(new) along z with time off-centering beta
+   (epssm); solved by the batched Thomas scan.  Optional implicit Rayleigh
+   damping on w (damp_opt=3) adds to the diagonal.
+
+Boundary conditions: W''(surface) = 0 and phi''(surface) = 0 (flat terrain,
+round-1 scope); p'' = 0 at the model top (constant-pressure lid for the
+acoustic modes); omega'' = 0 at both eta boundaries by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.dycore.tridiag import thomas
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.ops.stencil import win
+from wrfchem_arc_interactions_tpu.utils.constants import G
+
+
+def _div(u_pad1, v_pad1, grid: Grid):
+    return ((win(u_pad1, 0, 1, pad=1) - win(u_pad1, 0, 0, pad=1)) * grid.rdx
+            + (win(v_pad1, 1, 0, pad=1) - win(v_pad1, 0, 0, pad=1)) * grid.rdy)
+
+
+def acoustic_loop(pp: Dict[str, jax.Array],
+                  R: Dict[str, jax.Array],
+                  ac: Dict[str, jax.Array],
+                  ns: int, dtau: float,
+                  grid: Grid, cfg, hx) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Run `ns` acoustic substeps of length `dtau`.
+
+    pp: initial perturbations {u, v, w, th, mu, ph} (coupled U'', V'', W'',
+        Theta''; mu'', phi'').
+    R: slow tendencies {ru, rv, rw, rth, rph, rmu} held fixed.
+    ac: stage-precomputed reference coefficients (see solve.prepare_acoustic).
+    Returns (final perturbations, {ru_avg, rv_avg, ww_avg} time-averaged
+    total mass fluxes for scalar advection).
+    """
+    dyn = cfg.dynamics
+    beta = dyn.epssm
+    bp, bm = 0.5 * (1.0 + beta), 0.5 * (1.0 - beta)
+    smdiv = dyn.smdiv
+
+    dnw = grid.dnw.reshape(-1, 1, 1)
+    rdnw = grid.rdnw.reshape(-1, 1, 1)
+
+    coef_pt = ac["coef_pt"]      # (nz,ny,nx) gamma p_ref / Theta_ref(coupled)
+    s = ac["s"]                  # (nz,ny,nx) gamma p_ref rdnw/(alpha_ref mu_ref)
+    inv_mu = ac["inv_mu"]        # (ny,nx)
+    eps_w = ac["eps_w"]          # (nz+1,ny,nx)
+    rdn_w = ac["rdn_w"]          # (nz+1,1,1) incl. top half-layer metric
+    dphdn_ref = ac["dphdn_ref"]  # (nz+1,ny,nx) d(phi_ref)/d(eta) at w levels
+
+    def p_of2(th_pp, ph_pp):
+        return coef_pt * th_pp + s * (ph_pp[1:] - ph_pp[:-1])
+
+    u, v, w, th, mu, ph = pp["u"], pp["v"], pp["w"], pp["th"], pp["mu"], pp["ph"]
+    p_prev = p_of2(th, ph)
+
+    nzp1 = w.shape[0]
+    ru_avg = jnp.zeros_like(u)
+    rv_avg = jnp.zeros_like(v)
+    ww_avg = jnp.zeros_like(w)
+
+    for _ in range(ns):
+        p_now = p_of2(th, ph)
+        p_d = p_now + smdiv * (p_now - p_prev)
+        p_prev = p_now
+
+        g1 = hx.pad_many({"p": p_d, "ph": ph}, 1)
+        p_pad, ph_pad = g1["p"], g1["ph"]
+
+        # --- forward horizontal momentum -------------------------------
+        dppdx = (win(p_pad, 0, 0, pad=1) - win(p_pad, 0, -1, pad=1)) * grid.rdx
+        dphdx_w = (win(ph_pad, 0, 0, pad=1) - win(ph_pad, 0, -1, pad=1)) * grid.rdx
+        dphdx = 0.5 * (dphdx_w[:-1] + dphdx_w[1:])
+        du = R["ru"] - ac["c_ux"] * dppdx - ac["c_ux2"] * dphdx
+        # mu'' cross term: -mu''_u * (eps*alpha)_u * d(p'_ref)/dx
+        mu_pad = hx.pad(mu, 1)
+        mu_u = 0.5 * (win(mu_pad, 0, -1, pad=1) + win(mu_pad, 0, 0, pad=1))
+        du = du - mu_u[None] * ac["c_ux3"]
+        u = u + dtau * du
+
+        dppdy = (win(p_pad, 0, 0, pad=1) - win(p_pad, -1, 0, pad=1)) * grid.rdy
+        dphdy_w = (win(ph_pad, 0, 0, pad=1) - win(ph_pad, -1, 0, pad=1)) * grid.rdy
+        dphdy = 0.5 * (dphdy_w[:-1] + dphdy_w[1:])
+        mu_v = 0.5 * (win(mu_pad, -1, 0, pad=1) + win(mu_pad, 0, 0, pad=1))
+        dv = R["rv"] - ac["c_vy"] * dppdy - ac["c_vy2"] * dphdy - mu_v[None] * ac["c_vy3"]
+        v = v + dtau * dv
+
+        # --- column mass and omega'' ----------------------------------
+        g2 = hx.pad_many({"u": u, "v": v}, 1)
+        div = _div(g2["u"], g2["v"], grid)
+        dmu_ac = jnp.sum(dnw * div, axis=0)              # (ny,nx)
+        mu = mu + dtau * (R["rmu"] + dmu_ac)
+        incr = dnw * (-dmu_ac[None] - div)
+        om = jnp.concatenate([jnp.zeros_like(div[:1]), jnp.cumsum(incr, axis=0)], axis=0)
+
+        # --- forward Theta'' ------------------------------------------
+        fx = win(g2["u"], 0, 0, ex=1, pad=1) * ac["th_x"]
+        fy = win(g2["v"], 0, 0, ey=1, pad=1) * ac["th_y"]
+        fz = om * ac["th_z"]
+        dth = R["rth"] - ((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
+                          + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy
+                          + (fz[1:] - fz[:-1]) * rdnw)
+        th = th + dtau * dth
+
+        # --- implicit W''-phi'' ---------------------------------------
+        a_w = dtau * G * bp * inv_mu                      # (ny,nx)
+        ph_exp_t = (R["rph"] - om * dphdn_ref * inv_mu[None]
+                    + (G * inv_mu[None]) * bm * w)
+        ph_exp = ph + dtau * ph_exp_t
+        ph_exp = ph_exp.at[0].set(ph[0])                  # phi''_sfc frozen
+
+        p_theta = coef_pt * th                            # Theta''-part of p''(new)
+        # explicit part of p''(new) excluding the a_w*W terms
+        p_exp = p_theta + s * (ph_exp[1:] - ph_exp[:-1])
+        # p'' = 0 above the lid: "up" arrays padded with zero at k = nz
+        zero2d = jnp.zeros_like(p_exp[:1])
+        p_exp_up = jnp.concatenate([p_exp, zero2d], axis=0)       # (nz+1,...)
+        p_exp_dn = jnp.concatenate([zero2d, p_exp], axis=0)
+        p_old_up = jnp.concatenate([p_now, zero2d], axis=0)
+        p_old_dn = jnp.concatenate([zero2d, p_now], axis=0)
+        s_up = jnp.concatenate([s, jnp.zeros_like(s[:1])], axis=0)  # (nz+1,...)
+        s_dn = jnp.concatenate([jnp.zeros_like(s[:1]), s], axis=0)
+
+        dpdn_exp = rdn_w * (p_exp_up - p_exp_dn)          # at w levels (k=0 bogus)
+        dpdn_old = rdn_w * (p_old_up - p_old_dn)
+
+        K = dtau * G * eps_w * bp * rdn_w * a_w[None]     # (nz+1,ny,nx)
+        A = -K * s_dn
+        C = -K * s_up
+        B = 1.0 + K * (s_up + s_dn) + dtau * ac["w_damp"]
+        D = (w + dtau * (R["rw"]
+                         + G * eps_w * (bp * dpdn_exp + bm * dpdn_old)
+                         - G * mu[None]))
+        # surface row: W'' = 0
+        A = A.at[0].set(0.0)
+        C = C.at[0].set(0.0)
+        B = B.at[0].set(1.0)
+        D = D.at[0].set(0.0)
+        w = thomas(A, B, C, D)
+        ph = ph_exp + a_w[None] * w
+        ph = ph.at[0].set(ph_exp[0])
+
+        # --- averaged mass fluxes for scalar advection ----------------
+        ru_avg = ru_avg + (ac["ru_ref"] + u) * (1.0 / ns)
+        rv_avg = rv_avg + (ac["rv_ref"] + v) * (1.0 / ns)
+        ww_avg = ww_avg + (ac["ww_ref"] + om) * (1.0 / ns)
+
+    out = {"u": u, "v": v, "w": w, "th": th, "mu": mu, "ph": ph}
+    avg = {"ru": ru_avg, "rv": rv_avg, "ww": ww_avg}
+    return out, avg

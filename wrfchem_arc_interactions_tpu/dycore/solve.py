@@ -1,0 +1,247 @@
+"""One RK3 split-explicit model timestep — the solve_em equivalent
+(canonical: dyn_em/solve_em.F + module_em.F rk_tendency/rk_scalar_tend;
+SURVEY.md §3.2 is the load-bearing call order this reproduces):
+
+  for rk_step in 1..3:
+      halo exchange (group A, width 3)            <- HALO_EM_A analog
+      diagnostics (calc_p_rho_phi)
+      large-step tendencies R (advection + PGF + buoyancy + Coriolis + physics)
+      acoustic loop (1, ns/2, ns substeps)        <- halos inside (HALO_EM_C)
+      scalar advection (stage winds; final stage: time-averaged acoustic
+      mass fluxes + PD limiter)                   <- HALO_EM_MOIST/CHEM analog
+
+The whole function is pure (State -> State) and jit/shard_map friendly; all
+halo traffic flows through the HaloOps context.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.config.namelist import AdvLimiter
+from wrfchem_arc_interactions_tpu.dycore import advection as adv
+from wrfchem_arc_interactions_tpu.dycore import big_step as bs
+from wrfchem_arc_interactions_tpu.dycore.diagnostics import Diag, diagnose
+from wrfchem_arc_interactions_tpu.dycore.small_step import acoustic_loop
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.ops.stencil import avg_z_centers_to_faces, win
+from wrfchem_arc_interactions_tpu.parallel.halo import HaloOps
+from wrfchem_arc_interactions_tpu.registry.state import State, advected_names
+from wrfchem_arc_interactions_tpu.utils import constants as c
+
+
+def _mu_u(mu_full_pad, pad=3):
+    """mu at u faces, valid over the padded region except the outer ring."""
+    return 0.5 * (mu_full_pad + jnp.roll(mu_full_pad, 1, axis=-1))
+
+
+def _mu_v(mu_full_pad, pad=3):
+    return 0.5 * (mu_full_pad + jnp.roll(mu_full_pad, 1, axis=-2))
+
+
+def _dphi_deta_w(ph_pert, grid: Grid):
+    """d(phi_full)/d(eta) at w levels (interior arrays)."""
+    znw = grid.znw.reshape(-1, 1, 1)
+    dint = (ph_pert[2:] - ph_pert[:-2]) / (znw[2:] - znw[:-2])
+    dtop = (ph_pert[-1:] - ph_pert[-2:-1]) / (znw[-1:] - znw[-2:-1])
+    dbot = (ph_pert[1:2] - ph_pert[0:1]) / (znw[1:2] - znw[0:1])
+    alb_w = avg_z_centers_to_faces(grid.alb, grid.fnm, grid.fnp)
+    return jnp.concatenate([dbot, dint, dtop], axis=0) - grid.mub[None] * alb_w
+
+
+def _rdn_w(grid: Grid):
+    top = (-1.0 / grid.znu[-1]).reshape(1)
+    return jnp.concatenate([jnp.ones(1, grid.rdn.dtype), grid.rdn[1:], top]).reshape(-1, 1, 1)
+
+
+def _w_damp_profile(grid: Grid, cfg: Config):
+    """Implicit Rayleigh w-damping coefficient at w levels (damp_opt=3)."""
+    dyn = cfg.dynamics
+    if cfg.dynamics.damp_opt != 3:
+        return jnp.zeros((1, 1, 1), grid.phb.dtype)
+    z_w = grid.phb / c.G                       # (nz+1, ny, nx) base heights
+    z_top = z_w[-1:]
+    zd = z_top - dyn.zdamp
+    frac = jnp.clip((z_w - zd) / jnp.maximum(dyn.zdamp, 1.0), 0.0, 1.0)
+    return dyn.dampcoef * jnp.sin(0.5 * jnp.pi * frac) ** 2
+
+
+def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
+         phys_tend: Optional[Dict[str, jax.Array]] = None) -> State:
+    """Advance the dynamical state one dt (physics tendencies held fixed)."""
+    dyn = cfg.dynamics
+    moist = cfg.moist_species()
+    scalars = advected_names(cfg)
+    ns_total = cfg.n_acoustic
+    pt = phys_tend or {}
+
+    h_m, v_m = dyn.h_mom_adv_order.value, dyn.v_mom_adv_order.value
+    h_s, v_s = dyn.h_sca_adv_order.value, dyn.v_sca_adv_order.value
+
+    w_damp = _w_damp_profile(grid, cfg)
+    rdn_w = _rdn_w(grid)
+
+    # ---- step-start (t0) coupled quantities --------------------------
+    mu_full_0 = grid.mub + state["mu"]
+    g0 = hx.pad_many({"u": state["u"], "v": state["v"], "mu": mu_full_0}, 1)
+    mu_u0 = win(_mu_u(g0["mu"]), 0, 0, pad=1)
+    mu_v0 = win(_mu_v(g0["mu"]), 0, 0, pad=1)
+    cpl0 = {
+        "u": mu_u0[None] * state["u"],
+        "v": mu_v0[None] * state["v"],
+        "w": mu_full_0[None] * state["w"],
+        "th": mu_full_0[None] * (state["t"] + c.T0),
+        "mu": state["mu"],
+        "ph": state["ph"],
+    }
+    phi_old = {name: mu_full_0[None] * state[name] for name in scalars}
+
+    stage_state = state
+    stage_dts = [dt / 3.0, dt / 2.0, dt]
+    stage_ns = [1, max(ns_total // 2, 1), ns_total]
+
+    for istage in range(3):
+        dts = stage_dts[istage]
+        ns = stage_ns[istage]
+        dtau = dts / ns
+
+        diag = diagnose(stage_state, grid, moist)
+        mu_full = diag.mu_full
+
+        # ---- group-A halo exchange (width 3) -------------------------
+        fields = {
+            "u": stage_state["u"], "v": stage_state["v"], "w": stage_state["w"],
+            "ph": stage_state["ph"], "t": stage_state["t"],
+            "mu": mu_full, "p": diag.p_pert, "al": diag.alpha_d, "eps": diag.eps_ratio,
+        }
+        for q in scalars:
+            fields[q] = stage_state[q]
+        gA = hx.pad_many(fields, 3)
+
+        mu_u_pad = _mu_u(gA["mu"])
+        mu_v_pad = _mu_v(gA["mu"])
+        ru_pad = mu_u_pad[None] * gA["u"]
+        rv_pad = mu_v_pad[None] * gA["v"]
+        dmudt, ww = bs.omega_diagnosis(ru_pad, rv_pad, grid, hx)
+        ww_pad = hx.pad(ww, 3)
+        th_full_pad = gA["t"] + c.T0
+        U_pad = ru_pad  # coupled U == mass flux at u faces
+        V_pad = rv_pad
+
+        # ---- large-step tendencies R --------------------------------
+        pgf_u, pgf_v = bs.pgf_uv(gA["p"], gA["ph"], gA["al"], gA["eps"], gA["mu"], grid)
+        cor_u, cor_v = bs.coriolis_uv(gA["u"], gA["v"], gA["mu"], grid)
+        mu_u = win(mu_u_pad, 0, 0)
+        mu_v = win(mu_v_pad, 0, 0)
+
+        R = {}
+        R["ru"] = (adv.advect_u(gA["u"], ru_pad, rv_pad, ww_pad, grid, h_m, v_m)
+                   + pgf_u + cor_u + mu_u[None] * pt.get("u", 0.0))
+        R["rv"] = (adv.advect_v(gA["v"], ru_pad, rv_pad, ww_pad, grid, h_m, v_m)
+                   + pgf_v + cor_v + mu_v[None] * pt.get("v", 0.0))
+        rw_adv = adv.advect_w(gA["w"], ru_pad, rv_pad, ww, grid, h_m, v_m)
+        buoy = bs.buoyancy_w(diag.p_pert, diag.eps_ratio, stage_state["mu"], grid)
+        R["rw"] = (rw_adv + buoy).at[0].set(0.0)
+        R["rth"] = (adv.advect_scalar(th_full_pad, ru_pad, rv_pad, ww, grid, h_s, v_s)
+                    + mu_full[None] * pt.get("th", 0.0))
+        # rphi takes the *coupled* W (= mu w) so its g W / mu term reduces to
+        # g w, matching the acoustic loop's (g/mu) W'' fast term exactly —
+        # any mismatch in the fast terms between R and the acoustic
+        # linearisation is integrated explicitly at the RK dt and blows up
+        # the vertical acoustic modes (see scripts/acoustic_stability.py).
+        R["rph"] = bs.rphi_tendency(U_pad, V_pad, gA["ph"],
+                                    mu_full[None] * stage_state["w"], ww,
+                                    mu_full, grid)
+        R["rmu"] = dmudt
+
+        # ---- acoustic coefficients ----------------------------------
+        th_cpl = mu_full[None] * (stage_state["t"] + c.T0)
+        eal_pad = gA["eps"] * gA["al"]
+        eal_u = 0.5 * (win(eal_pad, 0, -1) + win(eal_pad, 0, 0))
+        eal_v = 0.5 * (win(eal_pad, -1, 0) + win(eal_pad, 0, 0))
+        eps_u = 0.5 * (win(gA["eps"], 0, -1) + win(gA["eps"], 0, 0))
+        eps_v = 0.5 * (win(gA["eps"], -1, 0) + win(gA["eps"], 0, 0))
+        from wrfchem_arc_interactions_tpu.dycore.diagnostics import ddz_center
+        dpdn = ddz_center(win(gA["p"], 0, -1, ex=1), grid.znu)
+        dpdn_u = 0.5 * (dpdn[..., :-1] + dpdn[..., 1:])
+        dpdn_y = ddz_center(win(gA["p"], -1, 0, ey=1), grid.znu)
+        dpdn_v = 0.5 * (dpdn_y[:, :-1, :] + dpdn_y[:, 1:, :])
+        dpdx_ref = (win(gA["p"], 0, 0) - win(gA["p"], 0, -1)) * grid.rdx
+        dpdy_ref = (win(gA["p"], 0, 0) - win(gA["p"], -1, 0)) * grid.rdy
+
+        ac = {
+            "coef_pt": c.GAMMA * diag.p_full / th_cpl,
+            "s": c.GAMMA * diag.p_full * grid.rdnw.reshape(-1, 1, 1)
+                 / (diag.alpha_d * mu_full[None]),
+            "inv_mu": 1.0 / mu_full,
+            "eps_w": avg_z_centers_to_faces(diag.eps_ratio, grid.fnm, grid.fnp),
+            "rdn_w": rdn_w,
+            "dphdn_ref": _dphi_deta_w(stage_state["ph"], grid),
+            "c_ux": win(mu_u_pad, 0, 0)[None] * eal_u,
+            "c_vy": win(mu_v_pad, 0, 0)[None] * eal_v,
+            "c_ux2": eps_u * (grid.mub[None] + dpdn_u),
+            "c_vy2": eps_v * (grid.mub[None] + dpdn_v),
+            "c_ux3": eal_u * dpdx_ref,
+            "c_vy3": eal_v * dpdy_ref,
+            "th_x": 0.5 * (win(th_full_pad, 0, -1, ex=1) + win(th_full_pad, 0, 0, ex=1)),
+            "th_y": 0.5 * (win(th_full_pad, -1, 0, ey=1) + win(th_full_pad, 0, 0, ey=1)),
+            "th_z": avg_z_centers_to_faces(stage_state["t"] + c.T0, grid.fnm, grid.fnp),
+            "w_damp": w_damp,
+            "ru_ref": win(ru_pad, 0, 0),
+            "rv_ref": win(rv_pad, 0, 0),
+            "ww_ref": ww,
+        }
+
+        # ---- acoustic perturbation initial values -------------------
+        cplref = {
+            "u": ac["ru_ref"], "v": ac["rv_ref"],
+            "w": mu_full[None] * stage_state["w"],
+            "th": th_cpl, "mu": stage_state["mu"], "ph": stage_state["ph"],
+        }
+        if istage == 0:
+            pp = {k: jnp.zeros_like(v) for k, v in cplref.items()}
+        else:
+            pp = {k: cpl0[k] - cplref[k] for k in cplref}
+
+        pp_out, avg_flux = acoustic_loop(pp, R, ac, ns, dtau, grid, cfg, hx)
+
+        # ---- assemble the new stage state ---------------------------
+        mu_new = cplref["mu"] + pp_out["mu"]
+        mu_full_new = grid.mub + mu_new
+        gmu = hx.pad(mu_full_new, 1)
+        mu_u_new = win(_mu_u(gmu), 0, 0, pad=1)
+        mu_v_new = win(_mu_v(gmu), 0, 0, pad=1)
+        new = dict(stage_state)
+        new["u"] = (cplref["u"] + pp_out["u"]) / mu_u_new[None]
+        new["v"] = (cplref["v"] + pp_out["v"]) / mu_v_new[None]
+        new["w"] = (cplref["w"] + pp_out["w"]) / mu_full_new[None]
+        new["t"] = (cplref["th"] + pp_out["th"]) / mu_full_new[None] - c.T0
+        new["mu"] = mu_new
+        new["ph"] = cplref["ph"] + pp_out["ph"]
+
+        # ---- scalars -------------------------------------------------
+        final = istage == 2
+        if final:
+            gF = hx.pad_many({"ru": avg_flux["ru"], "rv": avg_flux["rv"]}, 3)
+            ru_s, rv_s, ww_s = gF["ru"], gF["rv"], avg_flux["ww"]
+        else:
+            ru_s, rv_s, ww_s = ru_pad, rv_pad, ww
+        for q in scalars:
+            q_pad = gA[q]
+            fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s, h_s, v_s)
+            if final and dyn.moist_adv_opt != AdvLimiter.NONE:
+                fx, fy, fz = adv.pd_limit(q_pad, phi_old[q], fx, fy, fz,
+                                          ru_s, rv_s, ww_s, dts, grid, hx)
+            tend = adv.flux_div(fx, fy, fz, grid) + mu_full[None] * pt.get(q, 0.0)
+            qn = (phi_old[q] + dts * tend) / mu_full_new[None]
+            if final and dyn.moist_adv_opt != AdvLimiter.NONE:
+                qn = jnp.maximum(qn, 0.0)
+            new[q] = qn
+
+        stage_state = new
+
+    return stage_state

@@ -1,0 +1,213 @@
+"""Grid container: eta coordinate, metric terms, dry hydrostatic base state.
+
+Plays the role of the reference's domain setup (canonical: dyn_em/start_em.F,
+share/start_domain.F, and the znu/znw/dnw/rdnw/fnm/fnp metric fields of
+Registry.EM_COMMON; SURVEY.md §2.1 'Domain start/setup').
+
+Coordinate: ARW terrain-following dry-mass coordinate
+``eta = (p_dh - p_top) / mu_d`` with ``mu_d = p_surf_dry - p_top``; eta
+decreases from 1 (surface, k=0) to 0 (model top, k=nz) — arrays are stored
+surface-first so k indexes upward.
+
+All 3D arrays are (nz[, +1], ny, nx); 2D are (ny, nx). Base state is dry and
+hydrostatically balanced, so an unperturbed initial state is an exact steady
+state of the discrete equations (tested in tests/test_dycore.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.utils import constants as c
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Grid:
+    # --- vertical coordinate arrays (1D) ---
+    znw: jax.Array   # (nz+1,) eta at w (full) levels, znw[0]=1 … znw[nz]=0
+    znu: jax.Array   # (nz,)   eta at mass (half) levels
+    dnw: jax.Array   # (nz,)   znw[k+1]-znw[k]  (negative)
+    rdnw: jax.Array  # (nz,)   1/dnw
+    dn: jax.Array    # (nz,)   znu[k]-znu[k-1] (dn[0] unused)
+    rdn: jax.Array   # (nz,)
+    fnp: jax.Array   # (nz,)   interp weight of level k   to w-level k
+    fnm: jax.Array   # (nz,)   interp weight of level k-1 to w-level k
+    # --- base state (dry, hydrostatic) ---
+    mub: jax.Array     # (ny,nx)     base dry column mass [Pa]
+    pb: jax.Array      # (nz,ny,nx)  base pressure at mass levels
+    alb: jax.Array     # (nz,ny,nx)  base inverse density alpha_d
+    phb: jax.Array     # (nz+1,ny,nx) base geopotential at w-levels
+    t_init: jax.Array  # (nz,ny,nx)  base potential temperature (full theta)
+    # --- horizontal metrics ---
+    msft: jax.Array  # (ny,nx) map factor at mass points (1 for ideal)
+    msfu: jax.Array  # (ny,nx) at u faces
+    msfv: jax.Array  # (ny,nx) at v faces
+    f: jax.Array     # (ny,nx) Coriolis parameter
+    ht: jax.Array    # (ny,nx) terrain height [m]
+    xlat: jax.Array  # (ny,nx) latitude [deg] (radiation zenith angle)
+    xlong: jax.Array  # (ny,nx) longitude [deg]
+    # --- static metadata ---
+    dx: float = dataclasses.field(metadata=dict(static=True))
+    dy: float = dataclasses.field(metadata=dict(static=True))
+    p_top: float = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nz(self) -> int:
+        return self.znu.shape[0]
+
+    @property
+    def ny(self) -> int:
+        return self.mub.shape[0]
+
+    @property
+    def nx(self) -> int:
+        return self.mub.shape[1]
+
+    @property
+    def rdx(self) -> float:
+        return 1.0 / self.dx
+
+    @property
+    def rdy(self) -> float:
+        return 1.0 / self.dy
+
+
+def _dry_hydrostatic_column(theta_of_z: Callable[[np.ndarray], np.ndarray],
+                            znw: np.ndarray, p_surf: float, p_top: float,
+                            z_surf: float = 0.0, n_iter: int = 10):
+    """Iteratively compute base-state (pb, alb, phb, theta) for one column.
+
+    Mirrors the fixed-point iteration of the reference's ideal initialisers
+    (canonical: module_initialize_squall2d_x.F): pressure at half levels is
+    fixed by eta; heights follow from hydrostatic integration; theta is
+    re-evaluated at the new heights until converged.
+    """
+    nz = len(znw) - 1
+    znu = 0.5 * (znw[:-1] + znw[1:])
+    dnw = np.diff(znw)
+    mub = p_surf - p_top
+    pb = znu * mub + p_top                      # (nz,)
+    z_half = z_surf + np.linspace(0.0, 10.0e3, nz)   # crude first guess
+    for _ in range(n_iter):
+        theta = theta_of_z(z_half)
+        alb = (c.R_D * theta / c.P0) * (pb / c.P0) ** (-c.CV / c.CP)
+        # integrate d(phb)/d(eta) = -mub*alb upward from the surface
+        phb = np.empty(nz + 1)
+        phb[0] = c.G * z_surf
+        for k in range(nz):
+            phb[k + 1] = phb[k] - dnw[k] * mub * alb[k]
+        z_half_new = 0.5 * (phb[:-1] + phb[1:]) / c.G
+        if np.max(np.abs(z_half_new - z_half)) < 1e-9:
+            z_half = z_half_new
+            break
+        z_half = z_half_new
+    theta = theta_of_z(z_half)
+    alb = (c.R_D * theta / c.P0) * (pb / c.P0) ** (-c.CV / c.CP)
+    phb = np.empty(nz + 1)
+    phb[0] = c.G * z_surf
+    for k in range(nz):
+        phb[k + 1] = phb[k] - dnw[k] * mub * alb[k]
+    return mub, pb, alb, phb, theta
+
+
+def make_eta_levels(nz: int,
+                    ztop: float,
+                    p_top: float,
+                    theta_of_z: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                    stretch: str = "uniform_dz") -> np.ndarray:
+    """Full (w) eta levels znw[0..nz], 1 at surface decreasing to 0 at top.
+
+    ``uniform_dz`` places w-levels at equal height spacing in the base state
+    (the common ideal-case choice); ``uniform_eta`` spaces eta linearly.
+    """
+    if stretch == "uniform_eta" or theta_of_z is None:
+        return np.linspace(1.0, 0.0, nz + 1)
+    # Build a fine hydrostatic p(z) for the given theta profile, then read
+    # eta(z) at equally spaced heights.
+    zf = np.linspace(0.0, ztop, 4001)
+    theta = theta_of_z(zf)
+    # integrate dp/dz = -g p / (R_d T), T = theta*(p/p0)^(R/cp) => use exner
+    # form: d(pi)/dz = -g/(cp*theta), pi = (p/p0)^(R/cp)
+    pi = np.empty_like(zf)
+    pi[0] = 1.0
+    dz = zf[1] - zf[0]
+    th_mid = 0.5 * (theta[:-1] + theta[1:])
+    for i in range(len(zf) - 1):
+        pi[i + 1] = pi[i] - dz * c.G / (c.CP * th_mid[i])
+    p_of_z = c.P0 * pi ** (c.CP / c.R_D)
+    p_surf = p_of_z[0]
+    # heights of the w-levels: uniform in z, but eta must end exactly at 0 =>
+    # rescale so that z=ztop maps to p_top exactly.
+    z_levels = np.linspace(0.0, ztop, nz + 1)
+    p_levels = np.interp(z_levels, zf, p_of_z)
+    eta = (p_levels - p_top) / (p_surf - p_top)
+    eta[0] = 1.0
+    # guard monotonicity and force the top closed
+    eta = np.maximum.accumulate(eta[::-1])[::-1]
+    eta[-1] = 0.0
+    return eta
+
+
+def make_grid(cfg: Config,
+              theta_of_z: Callable[[np.ndarray], np.ndarray],
+              terrain: Optional[np.ndarray] = None,
+              f0: float = 0.0,
+              lat0: float = 40.0,
+              lon0: float = 0.0,
+              p_surf: float = c.P0,
+              stretch: str = "uniform_dz",
+              dtype=jnp.float32) -> Grid:
+    """Construct the grid + dry hydrostatic base state for an ideal case.
+
+    ``theta_of_z`` is the base-state potential-temperature sounding (numpy,
+    called at setup time only — this runs on host, not under jit).
+    Terrain support: phb integration starts from g*ht per column (flat
+    terrain keeps mub horizontally uniform; non-flat mub would need the
+    surface dry pressure — currently only flat terrain is exercised).
+    """
+    d = cfg.domain
+    nz, ny, nx = d.nz, d.ny, d.nx
+    znw = make_eta_levels(nz, d.ztop, d.p_top, theta_of_z, stretch)
+    znu = 0.5 * (znw[:-1] + znw[1:])
+    dnw = np.diff(znw)
+    rdnw = 1.0 / dnw
+    dn = np.zeros(nz)
+    dn[1:] = znu[1:] - znu[:-1]
+    rdn = np.zeros(nz)
+    rdn[1:] = 1.0 / dn[1:]
+    # interpolation weights from half levels (k, k-1) to w-level k
+    # (canonical start_em.F: fnp = .5*dnw(k)/dn(k), fnm = .5*dnw(k-1)/dn(k))
+    fnp = np.zeros(nz)
+    fnm = np.zeros(nz)
+    fnp[1:] = 0.5 * dnw[1:] / dn[1:]
+    fnm[1:] = 0.5 * dnw[:-1] / dn[1:]
+
+    if terrain is None:
+        terrain = np.zeros((ny, nx))
+    mub_c, pb_c, alb_c, phb_c, th_c = _dry_hydrostatic_column(
+        theta_of_z, znw, p_surf, d.p_top)
+    mub = np.full((ny, nx), mub_c)
+    pb = np.broadcast_to(pb_c[:, None, None], (nz, ny, nx)).copy()
+    alb = np.broadcast_to(alb_c[:, None, None], (nz, ny, nx)).copy()
+    phb = np.broadcast_to(phb_c[:, None, None], (nz + 1, ny, nx)).copy()
+    t_init = np.broadcast_to(th_c[:, None, None], (nz, ny, nx)).copy()
+    phb = phb + c.G * terrain[None, :, :]  # flat-terrain shift (exact for ht=const)
+
+    ones = np.ones((ny, nx))
+    arr = lambda a: jnp.asarray(a, dtype)
+    return Grid(
+        znw=arr(znw), znu=arr(znu), dnw=arr(dnw), rdnw=arr(rdnw),
+        dn=arr(dn), rdn=arr(rdn), fnp=arr(fnp), fnm=arr(fnm),
+        mub=arr(mub), pb=arr(pb), alb=arr(alb), phb=arr(phb), t_init=arr(t_init),
+        msft=arr(ones), msfu=arr(ones), msfv=arr(ones),
+        f=arr(f0 * ones), ht=arr(terrain),
+        xlat=arr(lat0 * ones), xlong=arr(lon0 * ones),
+        dx=float(d.dx), dy=float(d.dy), p_top=float(d.p_top),
+    )

@@ -1,0 +1,188 @@
+"""Ideal-case initialisation (canonical: dyn_em/module_initialize_<case>.F +
+the `ideal.exe` path of SURVEY.md §3.4).
+
+The initial state is built to satisfy the *discrete* hydrostatic balance of
+this model's own operators (the same fnm/fnp eps interpolation and the same
+d(p)/d(eta) differencing as dycore.big_step.buoyancy_w), so an unperturbed
+column is a stationary point of `dycore.solve.step` to rounding — the ideal
+analog of the reference's base-state/perturbation consistency.
+
+Construction per column (float64 on host, cast to the state dtype):
+ 1. theta(z), qv(z) from the sounding; iterate the column dry mass mu_d so
+    the moist surface pressure hits p_sfc.
+ 2. March the moist-hydrostatic full pressure up the half levels with the
+    model's eps_w interpolation: dp/deta = mu_d / eps_w.
+ 3. alpha_d from the EOS at (theta_m, p); phi from d(phi)/d(eta) = -mu_d
+    alpha_d; perturbations relative to the grid base state.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.grid import Grid, make_grid
+from wrfchem_arc_interactions_tpu.models import soundings
+from wrfchem_arc_interactions_tpu.registry.state import State, build_state
+from wrfchem_arc_interactions_tpu.utils import constants as c
+
+
+def _eps_w_np(qtot: np.ndarray, fnm: np.ndarray, fnp: np.ndarray) -> np.ndarray:
+    """Mirror ops.stencil.avg_z_centers_to_faces for eps = 1/(1+qtot):
+    qtot is (nz, ...); returns (nz+1, ...)."""
+    eps = 1.0 / (1.0 + qtot)
+    shp = (-1,) + (1,) * (eps.ndim - 1)
+    inner = fnp[1:].reshape(shp) * eps[:-1] + fnm[1:].reshape(shp) * eps[1:]
+    return np.concatenate([eps[:1], inner, eps[-1:]], axis=0)
+
+
+def balance_columns(grid: Grid, theta: np.ndarray, qv: np.ndarray,
+                    p_sfc: float = c.P0, n_iter: int = 30):
+    """Hydrostatically balance (theta, qv) columns on the model grid.
+
+    theta, qv: (nz, ny, nx) float64 full fields (perturbations included).
+    Returns (t_pert, mu_pert, ph_pert, p_half) as float64 numpy arrays.
+    """
+    znw = np.asarray(grid.znw, np.float64)
+    znu = np.asarray(grid.znu, np.float64)
+    dnw = np.asarray(grid.dnw, np.float64)
+    dn = np.zeros_like(znu)
+    dn[1:] = znu[1:] - znu[:-1]
+    fnm = np.asarray(grid.fnm, np.float64)
+    fnp = np.asarray(grid.fnp, np.float64)
+    nz = len(znu)
+
+    theta = np.asarray(theta, np.float64)
+    qv = np.asarray(qv, np.float64)
+    theta_m = theta * (1.0 + c.RVOVRD * qv)
+    eps_w = _eps_w_np(qv, fnm, fnp)          # (nz+1, ny, nx) water loading
+    inv_eps_w = 1.0 / eps_w
+
+    p_top = grid.p_top
+    mu_d = np.full(theta.shape[1:], p_sfc - p_top)
+    p = np.empty_like(theta)
+    for _ in range(n_iter):
+        # March full (moist) hydrostatic pressure DOWN from the model top:
+        # the top face is pinned at p_top (the model's acoustic/buoyancy top
+        # BC assumes p'(eta=0) = 0), then the column dry mass is scaled so
+        # the implied surface pressure matches p_sfc.
+        p[-1] = p_top + (znu[-1] - 0.0) * mu_d * inv_eps_w[-1]
+        for k in range(nz - 2, -1, -1):
+            p[k] = p[k + 1] - dn[k + 1] * mu_d * inv_eps_w[k + 1]
+        p_sfc_col = p[0] - (znu[0] - 1.0) * mu_d * inv_eps_w[0]
+        resid = np.max(np.abs(p_sfc_col - p_sfc))
+        mu_d = mu_d * (p_sfc - p_top) / (p_sfc_col - p_top)
+        if resid < 1e-9:
+            break
+
+    alpha_d = (c.R_D * theta_m / c.P0) * (p / c.P0) ** c.CVPM
+    ph = np.empty((nz + 1,) + theta.shape[1:])
+    ph[0] = np.asarray(grid.phb, np.float64)[0]
+    for k in range(nz):
+        ph[k + 1] = ph[k] - dnw[k] * mu_d * alpha_d[k]
+
+    t_pert = theta - c.T0
+    mu_pert = mu_d - np.asarray(grid.mub, np.float64)
+    ph_pert = ph - np.asarray(grid.phb, np.float64)
+    return t_pert, mu_pert, ph_pert, p
+
+
+def _bubble(grid: Grid, amplitude: float, xc: float, zc: float,
+            xr: float, zr: float, yc: Optional[float] = None,
+            yr: Optional[float] = None) -> np.ndarray:
+    """Cosine-squared thermal perturbation (nz, ny, nx)."""
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    x = (np.arange(nx) + 0.5) * grid.dx
+    y = (np.arange(ny) + 0.5) * grid.dy
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])           # (nz, ny, nx)
+    dist2 = ((x[None, None, :] - xc) / xr) ** 2 + ((z - zc) / zr) ** 2
+    if yc is not None:
+        dist2 = dist2 + ((y[None, :, None] - yc) / yr) ** 2
+    dist = np.sqrt(dist2)
+    return np.where(dist < 1.0, amplitude * np.cos(0.5 * np.pi * dist) ** 2, 0.0)
+
+
+def init_balanced(cfg: Config, grid: Grid,
+                  theta_full: np.ndarray, qv: np.ndarray,
+                  u: Optional[np.ndarray] = None,
+                  v: Optional[np.ndarray] = None,
+                  tsk: Optional[float] = None) -> State:
+    """Build a state from full (theta, qv) fields + optional winds."""
+    state = build_state(cfg)
+    t_pert, mu_pert, ph_pert, p = balance_columns(grid, theta_full, qv)
+    dtype = state["t"].dtype
+    state["t"] = jnp.asarray(t_pert, dtype)
+    state["mu"] = jnp.asarray(mu_pert, dtype)
+    state["ph"] = jnp.asarray(ph_pert, dtype)
+    if "qv" in state:
+        state["qv"] = jnp.asarray(qv, dtype)
+    if u is not None:
+        state["u"] = jnp.asarray(np.broadcast_to(u, state["u"].shape), dtype)
+    if v is not None:
+        state["v"] = jnp.asarray(np.broadcast_to(v, state["v"].shape), dtype)
+    if tsk is None:
+        tsk = float(theta_full[0].mean() * (p[0].mean() / c.P0) ** c.RCP)
+    state["tsk"] = jnp.full_like(state["tsk"], tsk)
+    return state
+
+
+def warm_bubble(cfg: Config, grid: Grid, amplitude: float = 2.0,
+                zc: float = 1500.0, xr: float = 4000.0, zr: float = 1500.0,
+                three_d: bool = False) -> State:
+    """Dry(ish) rising warm bubble — the basic dycore validation case."""
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])
+    theta0 = np.asarray(grid.t_init, np.float64)
+    xc = 0.5 * nx * grid.dx
+    yc = 0.5 * ny * grid.dy if three_d else None
+    yr = xr if three_d else None
+    theta = theta0 + _bubble(grid, amplitude, xc, zc, xr, zr, yc, yr)
+    qv = np.zeros((nz, ny, nx))
+    return init_balanced(cfg, grid, theta, qv)
+
+
+def squall_line_x(cfg: Config, grid: Grid, bubble_amp: float = 3.0,
+                  shear_depth: float = 2500.0, u_shear: float = -12.0) -> Tuple[State, Grid]:
+    """2D(x-z) squall line: Weisman-Klemp sounding, low-level shear, line
+    thermal trigger (canonical module_initialize_squall2d_x.F; BASELINE
+    config 2)."""
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])
+    theta_fn = soundings.weisman_klemp_theta()
+    rh_fn = soundings.weisman_klemp_rh()
+    theta0 = theta_fn(z)
+    # first-guess pressure from the grid base state for qv computation
+    pb = np.asarray(grid.pb, np.float64)
+    qv = soundings.qv_from_rh(theta0, pb, rh_fn(z))
+    # iterate once: balance -> better p -> qv
+    _, _, _, p = balance_columns(grid, theta0, qv)
+    qv = soundings.qv_from_rh(theta0, p, rh_fn(z))
+    theta = theta0 + _bubble(grid, bubble_amp, 0.5 * nx * grid.dx, 1500.0,
+                             4000.0, 1500.0)
+    # WK shear: u ramps from u_shear at the surface to 0 above shear_depth
+    u_prof = np.where(z < shear_depth, u_shear * (1.0 - z / shear_depth), 0.0)
+    state = init_balanced(cfg, grid, theta, qv, u=u_prof)
+    return state, grid
+
+
+def make_case(cfg: Config, case: str = "warm_bubble", **kw):
+    """Convenience: (grid, state) for a named ideal case."""
+    if case == "warm_bubble":
+        grid = make_grid(cfg, soundings.constant_n2_theta())
+        return grid, warm_bubble(cfg, grid, **kw)
+    if case == "squall2d_x":
+        grid = make_grid(cfg, soundings.weisman_klemp_theta())
+        state, grid = squall_line_x(cfg, grid, **kw)
+        return grid, state
+    if case == "quiescent":
+        grid = make_grid(cfg, soundings.constant_n2_theta())
+        theta = np.asarray(grid.t_init, np.float64)
+        qv = np.zeros((grid.nz, grid.ny, grid.nx))
+        return grid, init_balanced(cfg, grid, theta, qv)
+    raise ValueError(case)
