@@ -1,0 +1,120 @@
+"""Time-integration driver — the integrate()/wrf_run equivalent (canonical:
+frame/module_integrate.F + main/wrf.F; SURVEY.md §3.1), single domain.
+
+A `Simulation` owns the jitted full-step functions (one XLA program per
+alarm combination: plain / radiation / chem / both — the TPU analog of the
+reference's option-gated call tree), the step clock and alarms (radt,
+chemdt, history, restart; the esmf_time_f90 role), step-time bookkeeping
+(the `Timing for main` log lines), and optional NaN/CFL guards
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.dycore.solve import step as dyn_step
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.parallel.halo import HaloOps
+from wrfchem_arc_interactions_tpu.parallel.sharded import (
+    grid_partition_specs,
+    halo_ops_for,
+)
+from wrfchem_arc_interactions_tpu.physics.driver import post_dynamics, pre_dynamics
+from wrfchem_arc_interactions_tpu.registry.state import State, state_partition_specs
+from wrfchem_arc_interactions_tpu.utils.logging import log
+
+
+def full_step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
+              do_radiation: bool, do_chem: bool, time_s: float) -> State:
+    """One complete model step: physics pre -> dynamics -> physics post."""
+    state, phys_tend = pre_dynamics(state, grid, cfg, hx, dt, do_radiation, time_s)
+    state = dyn_step(state, grid, cfg, hx, dt, phys_tend)
+    state = post_dynamics(state, grid, cfg, hx, dt, do_chem)
+    return state
+
+
+class Simulation:
+    def __init__(self, cfg: Config, grid: Grid, state: State,
+                 mesh=None, check_nans: bool = False):
+        self.cfg = cfg
+        self.grid = grid
+        self.mesh = mesh
+        self.check_nans = check_nans
+        self.dt = cfg.time_control.dt
+        self.time_s = 0.0
+        self.step_idx = 0
+        self.step_times: List[float] = []
+        self.hx = halo_ops_for(cfg, mesh)
+
+        # alarm cadences in steps (0 = never)
+        self.rad_every = max(1, round(cfg.physics.radt_s / self.dt)) \
+            if cfg.physics.ra_sw_physics.value != "none" or cfg.physics.ra_lw_physics.value != "none" else 0
+        self.chem_every = max(1, round(cfg.chem.chemdt_s / self.dt)) \
+            if cfg.chem.chem_opt.value != "none" else 0
+
+        self._steppers: Dict = {}
+        if mesh is not None:
+            s_specs = state_partition_specs(cfg)
+            g_specs = grid_partition_specs(grid)
+            from jax.sharding import NamedSharding
+            self.state = {k: jax.device_put(v, NamedSharding(mesh, s_specs[k]))
+                          for k, v in state.items()}
+            self.grid = jax.tree.map(
+                lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
+                grid, g_specs)
+            self._s_specs, self._g_specs = s_specs, g_specs
+        else:
+            self.state = state
+
+    def _stepper(self, do_rad: bool, do_chem: bool) -> Callable:
+        key = (do_rad, do_chem)
+        if key not in self._steppers:
+            cfg, hx, dt = self.cfg, self.hx, self.dt
+
+            def fn(s, g, t_s):
+                return full_step(s, g, cfg, hx, dt, do_rad, do_chem, t_s)
+
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                fn = jax.shard_map(fn, mesh=self.mesh,
+                                   in_specs=(self._s_specs, self._g_specs, P()),
+                                   out_specs=self._s_specs)
+            self._steppers[key] = jax.jit(fn)
+        return self._steppers[key]
+
+    def advance(self, n_steps: int,
+                on_step: Optional[Callable[["Simulation"], None]] = None):
+        for _ in range(n_steps):
+            do_rad = self.rad_every > 0 and self.step_idx % self.rad_every == 0
+            do_chem = self.chem_every > 0 and self.step_idx % self.chem_every == 0
+            stepper = self._stepper(do_rad, do_chem)
+            t0 = time.perf_counter()
+            self.state = stepper(self.state, self.grid,
+                                 jnp.float32(self.time_s))
+            jax.block_until_ready(self.state["t"])
+            elapsed = time.perf_counter() - t0
+            self.step_times.append(elapsed)
+            self.step_idx += 1
+            self.time_s += self.dt
+            if self.check_nans and not bool(jnp.isfinite(self.state["t"]).all()):
+                raise FloatingPointError(
+                    f"NaN in theta at step {self.step_idx} (t={self.time_s}s)")
+            log(f"Timing for main: time {self.time_s:.1f} s on domain 1: "
+                f"{elapsed:.5f} elapsed seconds", level=2)
+            if on_step is not None:
+                on_step(self)
+
+    def run_seconds(self, seconds: float, **kw):
+        self.advance(int(round(seconds / self.dt)), **kw)
+
+    def mean_step_time(self, skip: int = 2) -> float:
+        ts = self.step_times[skip:] if len(self.step_times) > skip else self.step_times
+        return float(np.mean(ts)) if ts else float("nan")

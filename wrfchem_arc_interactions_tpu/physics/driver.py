@@ -1,0 +1,83 @@
+"""Physics orchestration (canonical: the first_rk_step_part1/2 physics-call
+sequence + microphysics_driver placement of solve_em; SURVEY.md §3.2).
+
+Two hooks around the dynamical step, matching the reference's operator
+splitting:
+
+- `pre_dynamics(state, ...) -> (state, phys_tend)`: radiation (on the radt
+  alarm; updates the held rthraten_* fields), surface layer, PBL, cumulus,
+  plus diffusion — everything whose tendencies are computed once per dt and
+  held through the RK stages.
+- `post_dynamics(state, ...) -> state`: microphysics (saturation adjustment
+  etc. operate on the post-advection state), and the chem driver on its
+  chemdt alarm (chem.driver).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.config.namelist import (
+    MPScheme, PBLScheme, RAScheme, SFScheme,
+)
+from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
+from wrfchem_arc_interactions_tpu.dycore.diffusion import diffusion_tendencies
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.parallel.halo import HaloOps
+from wrfchem_arc_interactions_tpu.registry.state import State, advected_names
+
+
+def pre_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
+                 do_radiation: bool, time_s: float) -> Tuple[State, Dict[str, jax.Array]]:
+    phys = cfg.physics
+    moist = cfg.moist_species()
+    tend: Dict[str, jax.Array] = {}
+    state = dict(state)
+
+    if do_radiation and (phys.ra_sw_physics != RAScheme.NONE
+                         or phys.ra_lw_physics != RAScheme.NONE):
+        from wrfchem_arc_interactions_tpu.physics.radiation.driver import radiation_driver
+        state = radiation_driver(state, grid, cfg, time_s)
+
+    # held radiative heating applied every step (the rthraten pattern)
+    if "rthraten_sw" in state:
+        tend["th"] = state["rthraten_sw"] + state["rthraten_lw"]
+
+    if phys.sf_sfclay_physics != SFScheme.NONE or phys.bl_pbl_physics != PBLScheme.NONE:
+        from wrfchem_arc_interactions_tpu.physics.pbl import surface_and_pbl
+        state, pbl_tend = surface_and_pbl(state, grid, cfg, dt)
+        for k, v in pbl_tend.items():
+            tend[k] = tend.get(k, 0.0) + v
+
+    if cfg.dynamics.diff_opt.value != "none":
+        scalars = advected_names(cfg)
+        d = diffusion_tendencies(state, grid, cfg, hx, dt, scalars)
+        for k, v in d.items():
+            tend[k] = tend.get(k, 0.0) + v
+
+    return state, tend
+
+
+def post_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
+                  do_chem: bool) -> State:
+    phys = cfg.physics
+    moist = cfg.moist_species()
+
+    if phys.mp_physics == MPScheme.KESSLER:
+        from wrfchem_arc_interactions_tpu.physics.microphysics.kessler import kessler
+        diag = diagnose(state, grid, moist)
+        state = kessler(state, diag, grid, dt)
+    elif phys.mp_physics == MPScheme.MORRISON2:
+        from wrfchem_arc_interactions_tpu.physics.microphysics.morrison import morrison
+        diag = diagnose(state, grid, moist)
+        state = morrison(state, diag, grid, cfg, dt)
+
+    if do_chem and cfg.chem.chem_opt.value != "none":
+        from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
+        state = chem_driver(state, grid, cfg, hx, cfg.chem.chemdt_s)
+
+    return state
