@@ -1,0 +1,91 @@
+"""Radiation driver (canonical: phys/module_radiation_driver.F;
+SURVEY.md §2.2, §3.2): prepares column inputs, computes the solar zenith
+angle, calls the RRTMG SW/LW solvers on the radt alarm, converts flux
+divergence to held theta tendencies (grid%rthraten pattern), and wires in
+the aerosol optical properties from chem when aer_ra_feedback is on — THE
+aerosol-radiation (ARC direct effect) coupling point.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.config.namelist import RAScheme
+from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.physics.radiation.rrtmg_lw import lw_fluxes
+from wrfchem_arc_interactions_tpu.physics.radiation.rrtmg_sw import sw_fluxes
+from wrfchem_arc_interactions_tpu.registry.state import State
+from wrfchem_arc_interactions_tpu.utils import constants as c
+
+ALBEDO = 0.2
+JULIAN_DAY = 172.0   # near-solstice default for ideal runs
+DECL = 23.45 * c.DEG2RAD
+
+
+def cos_zenith(time_s, xlat, xlong, julian_day: float = JULIAN_DAY):
+    """Cosine of the solar zenith angle (simple ephemeris: fixed declination
+    by julian day, hour angle from UTC time + longitude)."""
+    decl = -23.45 * c.DEG2RAD * jnp.cos(2.0 * jnp.pi * (julian_day + 10.0) / 365.0)
+    hour = (time_s / 3600.0) % 24.0
+    ha = (hour - 12.0) * 15.0 * c.DEG2RAD + xlong * c.DEG2RAD
+    lat = xlat * c.DEG2RAD
+    mu = jnp.sin(lat) * jnp.sin(decl) + jnp.cos(lat) * jnp.cos(decl) * jnp.cos(ha)
+    return jnp.maximum(mu, 0.0)
+
+
+def _columns(state: State, grid: Grid, cfg: Config):
+    """Flatten (nz, ny, nx) state to radiation columns (nz, ncol)."""
+    moist = cfg.moist_species()
+    diag = diagnose(state, grid, moist)
+    nz, ny, nx = diag.theta.shape
+    ncol = ny * nx
+    flat = lambda a: a.reshape(a.shape[:-2] + (ncol,))
+    p_lay = flat(diag.p_full)
+    exner = (p_lay / c.P0) ** c.RCP
+    t_lay = flat(diag.theta) * exner
+    qtot_fac = 1.0 / flat(diag.eps_ratio)
+    dp_lay = flat(diag.mu_full)[None] * (-grid.dnw.reshape(-1, 1)) * qtot_fac
+    qv = flat(state["qv"]) if "qv" in state else jnp.zeros_like(p_lay)
+    qc = flat(state.get("qc", jnp.zeros_like(diag.theta)))
+    lwp = qc * dp_lay / c.G
+    t_sfc = flat(state["tsk"].reshape(1, ny, nx))[0]
+    return p_lay, t_lay, dp_lay, qv, lwp, t_sfc, exner, (nz, ny, nx)
+
+
+def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
+    phys = cfg.physics
+    p_lay, t_lay, dp_lay, qv, lwp, t_sfc, exner, (nz, ny, nx) = \
+        _columns(state, grid, cfg)
+    ncol = ny * nx
+    unflat = lambda a: a.reshape(a.shape[:-1] + (ny, nx))
+
+    aer_sw = aer_lw = None
+    if cfg.chem.aer_ra_feedback and "tau_aer_sw" in state:
+        flatb = lambda a: a.reshape(a.shape[0], nz, ncol)
+        aer_sw = (flatb(state["tau_aer_sw"]), flatb(state["ssa_aer_sw"]),
+                  flatb(state["asy_aer_sw"]))
+        aer_lw = flatb(state["tau_aer_lw"])
+
+    out = dict(state)
+    if phys.ra_lw_physics != RAScheme.NONE:
+        lw = lw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, t_sfc, tau_aer_lw=aer_lw)
+        out["rthraten_lw"] = unflat(lw["heating"] / exner)
+        out["glw"] = unflat(lw["glw"])
+        out["olr"] = unflat(lw["olr"])
+    if phys.ra_sw_physics != RAScheme.NONE:
+        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong).reshape(ncol)
+        albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
+        kw = {}
+        if aer_sw is not None:
+            kw = {"tau_aer_sw": aer_sw[0], "ssa_aer_sw": aer_sw[1],
+                  "asy_aer_sw": aer_sw[2]}
+        sw = sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo, **kw)
+        out["rthraten_sw"] = unflat(sw["heating"] / exner)
+        out["swdown"] = unflat(sw["swdown"])
+        out["swupt"] = unflat(sw["swup_toa"])
+    return out
