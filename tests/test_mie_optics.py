@@ -1,0 +1,96 @@
+"""Mie + aerosol optics tests (SURVEY.md §4.5: 'Mie optics vs exact Mie
+series'; the fast Chebyshev path vs the Bohren-Huffman oracle)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wrfchem_arc_interactions_tpu.chem import mie
+from wrfchem_arc_interactions_tpu.chem.optics import aerosol_optics, bin_optics
+from wrfchem_arc_interactions_tpu.physics.radiation import bands as rbands
+
+
+def test_bhmie_rayleigh_limit():
+    m = complex(1.5, 0.0)
+    x = 0.02
+    qext, qsca, g = mie.bhmie(x, m)
+    qs_rayleigh = (8.0 / 3.0) * x ** 4 * abs((m * m - 1) / (m * m + 2)) ** 2
+    np.testing.assert_allclose(qsca, qs_rayleigh, rtol=1e-2)
+    assert abs(g) < 0.05
+
+
+def test_bhmie_geometric_limit():
+    qext, qsca, g = mie.bhmie(50.0, complex(1.33, 1e-8))
+    assert 1.9 < qext < 2.3      # extinction paradox
+    assert qsca == pytest.approx(qext, rel=1e-3)  # non-absorbing
+
+
+def test_bhmie_absorbing():
+    qext, qsca, g = mie.bhmie(2.0, complex(1.82, 0.74))  # BC-like
+    assert qext > qsca > 0
+    assert 0.3 < g < 0.95
+
+
+def test_cheb_fit_vs_exact():
+    """Fast path within a few percent of the exact series across the fitted
+    range (bin-averaged use tolerates Mie-ripple smoothing)."""
+    tabs = mie.build_cheb_tables()
+    rng = np.random.default_rng(3)
+    worst = 0.0
+    for _ in range(30):
+        nr = rng.uniform(1.3, 2.0)
+        ni = 10 ** rng.uniform(-8, -0.2)
+        x = 10 ** rng.uniform(-1.5, 1.5)
+        qe_ref, qs_ref, g_ref = mie.bhmie(x, complex(nr, ni))
+        # evaluate the table the way optics.py does
+        from wrfchem_arc_interactions_tpu.chem.optics import _interp_coefs
+        cq, cs, cg = _interp_coefs(tabs, jnp.asarray(nr), jnp.asarray(ni),
+                                   jnp.float32)
+        t = jnp.asarray(tabs.t_of_lnx(np.log(x)), jnp.float32)
+        qe = float(np.exp(mie.cheb_eval(cq, t)))  # tables store ln Q
+        err = abs(qe - qe_ref) / max(qe_ref, 0.05)
+        worst = max(worst, err)
+    assert worst < 0.35, f"worst relative qext error {worst:.3f}"
+
+
+def _chem_fields(nbin, shp, bc_heavy=False):
+    fields = {}
+    for b in range(1, nbin + 1):
+        base = 1.0 if b <= 2 else 0.1
+        for s in ("so4", "no3", "nh4", "cl", "na", "oin", "oc"):
+            fields[f"chem_{s}_a{b:02d}"] = jnp.full(shp, base * 0.5)
+        fields[f"chem_bc_a{b:02d}"] = jnp.full(shp, base * (5.0 if bc_heavy else 0.05))
+        fields[f"chem_water_a{b:02d}"] = jnp.full(shp, base * 1.0)
+        fields[f"chem_num_a{b:02d}"] = jnp.full(shp, base * 1e8)
+    return fields
+
+
+def test_aerosol_optics_sanity():
+    shp = (6, 2, 3)
+    rho = jnp.full(shp, 1.0)
+    dz = jnp.full(shp, 500.0)
+    out = aerosol_optics(_chem_fields(4, shp), rho, dz, 4)
+    tau = np.asarray(out["tau_aer_sw"])
+    ssa = np.asarray(out["ssa_aer_sw"])
+    asy = np.asarray(out["asy_aer_sw"])
+    tlw = np.asarray(out["tau_aer_lw"])
+    assert tau.shape == (rbands.NBND_SW,) + shp
+    assert tlw.shape == (rbands.NBND_LW,) + shp
+    assert (tau >= 0).all() and (tlw >= 0).all()
+    assert (ssa >= 0).all() and (ssa <= 1).all()
+    assert (asy >= 0).all() and (asy <= 1).all()
+    assert tau.max() > 1e-5     # nonzero optics for nonzero aerosol
+    # mostly-scattering mix should have high visible ssa
+    vis_band = 9                # ~0.5 um region
+    assert ssa[vis_band].mean() > 0.8
+
+
+def test_bc_darkens_aerosol():
+    shp = (4, 2, 2)
+    rho = jnp.full(shp, 1.0)
+    dz = jnp.full(shp, 500.0)
+    clean = aerosol_optics(_chem_fields(4, shp), rho, dz, 4)
+    sooty = aerosol_optics(_chem_fields(4, shp, bc_heavy=True), rho, dz, 4)
+    vis = 9
+    assert float(np.mean(np.asarray(sooty["ssa_aer_sw"][vis]))) < \
+        float(np.mean(np.asarray(clean["ssa_aer_sw"][vis])))
