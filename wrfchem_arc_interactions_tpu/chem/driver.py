@@ -1,0 +1,108 @@
+"""Chemistry orchestrator — the chem_driver equivalent (canonical:
+chem/chem_driver.F; the operator order of SURVEY.md §3.3 is the load-bearing
+structure reproduced here):
+
+  dry deposition -> emissions -> photolysis -> gas-phase chemistry ->
+  cloud chemistry -> aerosol dynamics (nucleation, condensation/
+  partitioning, coagulation, water) -> wet scavenging -> optical properties
+
+Every stage is column/cell-local — no halos anywhere in this file
+(SURVEY.md §3.3 'No intra-chem communication') — so the whole stack is
+batched dense TPU work between two halo-bearing dynamics steps.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.chem import aux, gas, optics
+from wrfchem_arc_interactions_tpu.chem.mosaic import coag, nucleation, thermo
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.config.namelist import ChemOpt
+from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.physics.radiation.driver import cos_zenith
+from wrfchem_arc_interactions_tpu.registry.state import State
+from wrfchem_arc_interactions_tpu.utils import constants as c
+
+
+def _nbin(cfg: Config) -> int:
+    return 8 if "8bin" in cfg.chem.chem_opt.value else 4
+
+
+def _has_gas(cfg: Config) -> bool:
+    return cfg.chem.chem_opt in (ChemOpt.CBMZ_MOSAIC_4BIN, ChemOpt.CBMZ_MOSAIC_8BIN)
+
+
+def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
+                time_s=0.0,
+                emissions: Optional[Dict[str, jax.Array]] = None) -> State:
+    ch = cfg.chem
+    nbin = _nbin(cfg)
+    moist = cfg.moist_species()
+    diag = diagnose(state, grid, moist)
+    exner = (diag.p_full / c.P0) ** c.RCP
+    t_air = diag.theta * exner
+    rho_air = 1.0 / (diag.alpha_d * diag.eps_ratio)
+    ph_full = grid.phb + state["ph"]
+    dz = (ph_full[1:] - ph_full[:-1]) / c.G
+    qv = state.get("qv", jnp.zeros_like(t_air))
+    qc = state.get("qc", jnp.zeros_like(t_air))
+    qr = state.get("qr", jnp.zeros_like(t_air))
+    # relative humidity w.r.t. liquid
+    es = 611.2 * jnp.exp(c.SVP2 * (t_air - c.SVPT0) / (t_air - c.SVP3))
+    qvs = c.EP_2 * es / jnp.maximum(diag.p_full - es, 1.0)
+    rh = jnp.clip(qv / jnp.maximum(qvs, 1e-8), 0.0, 1.0)
+
+    chem = {k: v for k, v in state.items() if k.startswith("chem_")}
+
+    # 1. dry deposition
+    if ch.drydep_opt:
+        chem = aux.dry_deposition(chem, dz[0], dt, gas.GAS_SPECIES)
+
+    # 2. emissions
+    if ch.emiss_opt and emissions:
+        chem = aux.apply_emissions(chem, emissions, rho_air[0], dz[0], dt)
+
+    # 3-4. photolysis scaling + gas-phase mechanism
+    if ch.gaschem_onoff and _has_gas(cfg):
+        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong)
+        lwp_col = jnp.sum(qc * rho_air * dz, axis=0)
+        j_scale = aux.photolysis_scale(mu0, lwp_col)[None]      # (1, ny, nx)
+        # ppmv -> molec/cm3
+        m_air = diag.p_full / (1.380649e-23 * t_air) * 1e-6      # molec/cm3
+        shape = t_air.shape
+        conc = jnp.stack([chem[f"chem_{s}"] * 1e-6 * m_air
+                          for s in gas.GAS_SPECIES]).reshape(gas.NS, -1)
+        k_rxn = gas.rate_constants(t_air, m_air,
+                                   jnp.broadcast_to(j_scale, shape)
+                                   ).reshape(gas.NR_RXN, -1)
+        conc = gas.integrate(conc, k_rxn, dt)
+        conc = conc.reshape((gas.NS,) + shape)
+        for i, s in enumerate(gas.GAS_SPECIES):
+            chem[f"chem_{s}"] = conc[i] / m_air * 1e6
+
+    # 5. cloud chemistry
+    if ch.cldchem_onoff:
+        chem = aux.cloud_chemistry(chem, qc, t_air, nbin, dt)
+
+    # 6. aerosol dynamics
+    if ch.aerchem_onoff:
+        chem = nucleation.nucleate(chem, rho_air, rh, nbin, dt)
+        chem = thermo.partition(chem, t_air, rho_air, rh, nbin, dt)
+        chem = coag.coagulate(chem, rho_air, nbin, dt)
+
+    # 7. wet scavenging
+    if ch.wetscav_onoff:
+        chem = aux.wet_scavenging(chem, qr, dt, gas.GAS_SPECIES)
+
+    # 8. aerosol optical properties (the ARC direct-effect bridge)
+    out = dict(state)
+    out.update(chem)
+    if ch.aer_ra_feedback or "tau_aer_sw" in state:
+        opt = optics.aerosol_optics(chem, rho_air, dz, nbin)
+        out.update(opt)
+    return out
