@@ -1,0 +1,99 @@
+"""Morrison 2-moment + AR&G activation tests — the ARC indirect-effect
+chain (SURVEY.md §2.2 mixactivate; the paired feedbacks-on/off comparison
+mirrors the reference repo's scenario methodology)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wrfchem_arc_interactions_tpu.physics.mixactivate import activate
+
+
+def _chem(nbin=4, shp=(3,), so4=2.0, num=2e9):
+    from wrfchem_arc_interactions_tpu.chem.mosaic import bins as mbins
+    f = {}
+    for b in range(1, nbin + 1):
+        scale = [1.0, 0.5, 0.05, 0.005][b - 1]
+        for s in mbins.AER_SPECIES:
+            f[f"chem_{s}_a{b:02d}"] = jnp.full(shp, 0.05 * scale)
+        f[f"chem_so4_a{b:02d}"] = jnp.full(shp, so4 * scale)
+        f[f"chem_water_a{b:02d}"] = jnp.full(shp, 0.1 * scale)
+        f[f"chem_num_a{b:02d}"] = jnp.full(shp, num * scale)
+    return f
+
+
+def test_activation_basic():
+    t = jnp.full((3,), 283.0)
+    p = jnp.full((3,), 9.0e4)
+    rho = jnp.full((3,), 1.1)
+    w = jnp.asarray([0.5, 2.0, 5.0])
+    n_act, smax = activate(_chem(), t, p, rho, w, 4)
+    n_act = np.asarray(n_act)
+    smax = np.asarray(smax)
+    assert (n_act > 1e6).all()               # some activation
+    assert (smax > 1e-5).all() and (smax < 0.1).all()
+    # stronger updraft -> higher smax -> more activated
+    assert smax[2] > smax[0]
+    assert n_act[2] >= n_act[0]
+
+
+def test_activation_more_aerosol_more_droplets():
+    t = jnp.full((2,), 283.0)
+    p = jnp.full((2,), 9.0e4)
+    rho = jnp.full((2,), 1.1)
+    w = jnp.full((2,), 1.0)
+    lo, _ = activate(_chem(shp=(2,), num=5e8), t, p, rho, w, 4)
+    hi, _ = activate(_chem(shp=(2,), num=5e9), t, p, rho, w, 4)
+    assert float(hi[0]) > float(lo[0])
+
+
+def _run_squall(progn, chem_on, steps=60):
+    from wrfchem_arc_interactions_tpu.config import (
+        ChemConfig, Config, DomainConfig, DynamicsConfig, PhysicsConfig,
+        TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.config.namelist import ChemOpt, MPScheme
+    from wrfchem_arc_interactions_tpu.models import ideal
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+
+    cfg = Config(
+        domain=DomainConfig(nx=40, ny=4, nz=20, dx=1000.0, dy=1000.0,
+                            ztop=16000.0, p_top=10000.0),
+        time_control=TimeControl(dt=5.0),
+        dynamics=DynamicsConfig(kvdif=30.0),
+        physics=PhysicsConfig(mp_physics=MPScheme.MORRISON2, progn=progn),
+        chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN if chem_on else ChemOpt.NONE,
+                        chemdt_s=30.0, aerchem_onoff=False,
+                        gaschem_onoff=False),
+    )
+    grid, state = ideal.make_case(cfg, "squall2d_x", bubble_amp=3.0)
+    if chem_on:
+        for b in (1, 2):
+            state[f"chem_so4_a{b:02d}"] = jnp.full_like(state["t"], 3.0)
+            state[f"chem_num_a{b:02d}"] = jnp.full_like(state["t"], 5e9)
+    sim = Simulation(cfg, grid, state, check_nans=True)
+    sim.advance(steps)
+    return sim.state
+
+
+@pytest.mark.slow
+def test_morrison_squall_runs_and_makes_cloud():
+    out = _run_squall(progn=False, chem_on=False)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert float(out["qc"].max()) > 1e-5
+    assert float(out["nc"].max()) > 1e5
+    for q in ("qv", "qc", "qr", "qi", "qs", "qg"):
+        assert float(out[q].min()) >= 0.0
+
+
+@pytest.mark.slow
+def test_indirect_effect_progn_changes_nc():
+    """Paired runs (the ARC-Interactions methodology): prognostic aerosol
+    activation vs default Nc produce different droplet fields."""
+    base = _run_squall(progn=False, chem_on=False, steps=60)
+    arc = _run_squall(progn=True, chem_on=True, steps=60)
+    nc_b = float(base["nc"].max())
+    nc_a = float(arc["nc"].max())
+    assert nc_a > 0 and nc_b > 0
+    assert abs(nc_a - nc_b) / max(nc_a, nc_b) > 0.05

@@ -74,7 +74,20 @@ def post_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
     elif phys.mp_physics == MPScheme.MORRISON2:
         from wrfchem_arc_interactions_tpu.physics.microphysics.morrison import morrison
         diag = diagnose(state, grid, moist)
-        state = morrison(state, diag, grid, cfg, dt)
+        n_act = None
+        if phys.progn and cfg.chem.chem_opt.value != "none":
+            # ARC indirect effect: MOSAIC bins -> AR&G activation -> Nc
+            from wrfchem_arc_interactions_tpu.chem.driver import _nbin
+            from wrfchem_arc_interactions_tpu.physics.mixactivate import activate
+            from wrfchem_arc_interactions_tpu.utils import constants as cc
+            exner = (diag.p_full / cc.P0) ** cc.RCP
+            t_air = diag.theta * exner
+            rho_air = 1.0 / (diag.alpha_d * diag.eps_ratio)
+            w_c = 0.5 * (state["w"][:-1] + state["w"][1:])
+            chem = {k: v for k, v in state.items() if k.startswith("chem_")}
+            n_act, _ = activate(chem, t_air, diag.p_full, rho_air, w_c,
+                                _nbin(cfg))
+        state = morrison(state, diag, grid, cfg, dt, n_act=n_act)
 
     if do_chem and cfg.chem.chem_opt.value != "none":
         from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
