@@ -1,0 +1,61 @@
+"""Restart bit-exactness (SURVEY.md §4.2: run 2N steps vs N + restart + N —
+the reference's core regression invariant) and history stream contents."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wrfchem_arc_interactions_tpu.config import Config, DomainConfig, TimeControl
+from wrfchem_arc_interactions_tpu.io import history as hio
+from wrfchem_arc_interactions_tpu.models import ideal
+from wrfchem_arc_interactions_tpu.models.driver import Simulation
+from wrfchem_arc_interactions_tpu.registry.state import history_names, restart_names
+
+
+def _cfg(tmp):
+    return Config(
+        domain=DomainConfig(nx=24, ny=4, nz=12, dx=1000.0, dy=1000.0,
+                            ztop=12000.0, p_top=20000.0),
+        time_control=TimeControl(dt=5.0, history_interval_s=25.0,
+                                 restart_interval_s=25.0),
+    )
+
+
+def test_restart_bit_exact(tmp_path):
+    cfg = _cfg(tmp_path)
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0)
+
+    # run 2N straight
+    sim_a = Simulation(cfg, grid, state)
+    sim_a.advance(10)
+
+    # run N, dump, restart, run N
+    out = str(tmp_path)
+    sim_b = Simulation(cfg, grid, state, output_dir=out)
+    sim_b.advance(5)
+    hio.flush()
+    restored, step, t_s = hio.read_restart(f"{out}/restart_000005.npz",
+                                           cfg, state)
+    assert step == 5 and t_s == 25.0
+    sim_c = Simulation(cfg, grid, restored)
+    sim_c.step_idx = step
+    sim_c.time_s = t_s
+    sim_c.advance(5)
+
+    for name in restart_names(cfg):
+        a = np.asarray(sim_a.state[name])
+        b = np.asarray(sim_c.state[name])
+        np.testing.assert_array_equal(a, b, err_msg=f"restart drift in {name}")
+
+
+def test_history_written(tmp_path):
+    cfg = _cfg(tmp_path)
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0)
+    sim = Simulation(cfg, grid, state, output_dir=str(tmp_path))
+    sim.advance(5)
+    hio.flush()
+    f = np.load(tmp_path / "hist_000005.npz")
+    for name in history_names(cfg):
+        assert name in f, name
+    assert float(f["_time_s"]) == 25.0
+    assert f["u"].shape == (12, 4, 24)

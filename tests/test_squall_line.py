@@ -32,3 +32,20 @@ def test_squall_line_convection_develops():
     # moisture stays positive (PD limiter + scheme floors)
     for q in ("qv", "qc", "qr"):
         assert np.asarray(sim.state[q]).min() >= 0.0
+
+
+@pytest.mark.slow
+def test_supercell_3d_runs():
+    """quarter_ss 3D supercell ideal case (canonical em_quarter_ss)."""
+    cfg = Config(
+        domain=DomainConfig(nx=32, ny=32, nz=20, dx=2000.0, dy=2000.0,
+                            ztop=16000.0, p_top=10000.0),
+        time_control=TimeControl(dt=10.0),
+        dynamics=DynamicsConfig(kvdif=30.0),
+    )
+    grid, state = ideal.make_case(cfg, "quarter_ss", bubble_amp=3.0)
+    sim = Simulation(cfg, grid, state, check_nans=True)
+    sim.run_seconds(600.0)
+    w = np.asarray(sim.state["w"])
+    assert np.isfinite(w).all()
+    assert w.max() > 1.0

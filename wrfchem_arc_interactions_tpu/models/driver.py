@@ -43,16 +43,23 @@ def full_step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
 
 class Simulation:
     def __init__(self, cfg: Config, grid: Grid, state: State,
-                 mesh=None, check_nans: bool = False):
+                 mesh=None, check_nans: bool = False,
+                 output_dir: Optional[str] = None):
         self.cfg = cfg
         self.grid = grid
         self.mesh = mesh
         self.check_nans = check_nans
+        self.output_dir = output_dir
         self.dt = cfg.time_control.dt
         self.time_s = 0.0
         self.step_idx = 0
         self.step_times: List[float] = []
         self.hx = halo_ops_for(cfg, mesh)
+        tc = cfg.time_control
+        self.hist_every = max(1, round(tc.history_interval_s / self.dt)) \
+            if (output_dir and tc.history_interval_s > 0) else 0
+        self.rst_every = max(1, round(tc.restart_interval_s / self.dt)) \
+            if (output_dir and tc.restart_interval_s > 0) else 0
 
         # alarm cadences in steps (0 = never)
         self.rad_every = max(1, round(cfg.physics.radt_s / self.dt)) \
@@ -109,6 +116,16 @@ class Simulation:
                     f"NaN in theta at step {self.step_idx} (t={self.time_s}s)")
             log(f"Timing for main: time {self.time_s:.1f} s on domain 1: "
                 f"{elapsed:.5f} elapsed seconds", level=2)
+            if self.hist_every and self.step_idx % self.hist_every == 0:
+                from wrfchem_arc_interactions_tpu.io import history as hio
+                hio.write_history(
+                    f"{self.output_dir}/hist_{self.step_idx:06d}.npz",
+                    self.cfg, self.grid, self.state, self.time_s)
+            if self.rst_every and self.step_idx % self.rst_every == 0:
+                from wrfchem_arc_interactions_tpu.io import history as hio
+                hio.write_restart(
+                    f"{self.output_dir}/restart_{self.step_idx:06d}.npz",
+                    self.cfg, self.state, self.step_idx, self.time_s)
             if on_step is not None:
                 on_step(self)
 

@@ -171,6 +171,34 @@ def squall_line_x(cfg: Config, grid: Grid, bubble_amp: float = 3.0,
     return state, grid
 
 
+def supercell_3d(cfg: Config, grid: Grid, bubble_amp: float = 3.0,
+                 u_max: float = 30.0, shear_depth: float = 6000.0) -> State:
+    """3D supercell: WK sounding + quarter-circle shear hodograph
+    (canonical module_initialize_quarter_ss.F)."""
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])
+    theta0 = np.asarray(grid.t_init, np.float64)
+    rh_fn = soundings.weisman_klemp_rh()
+    pb = np.asarray(grid.pb, np.float64)
+    qv = soundings.qv_from_rh(theta0, pb, rh_fn(z))
+    _, _, _, p = balance_columns(grid, theta0, qv)
+    qv = soundings.qv_from_rh(theta0, p, rh_fn(z))
+    theta = theta0 + _bubble(grid, bubble_amp, 0.5 * nx * grid.dx, 1500.0,
+                             10000.0, 1500.0, yc=0.5 * ny * grid.dy, yr=10000.0)
+    # quarter-circle hodograph: turning through the lowest ~2 km, then
+    # unidirectional westerly shear to shear_depth
+    frac = np.clip(z / shear_depth, 0.0, 1.0)
+    turn = np.clip(z / 2000.0, 0.0, 1.0) * 0.5 * np.pi
+    speed = u_max * frac
+    u_prof = speed * np.sin(turn)
+    v_prof = speed * (1.0 - np.cos(turn))
+    # subtract a mean storm motion so the cell stays in the domain
+    u_prof = u_prof - 0.5 * u_max
+    v_prof = v_prof - 0.25 * u_max
+    return init_balanced(cfg, grid, theta, qv, u=u_prof, v=v_prof)
+
+
 def make_case(cfg: Config, case: str = "warm_bubble", **kw):
     """Convenience: (grid, state) for a named ideal case."""
     if case == "warm_bubble":
@@ -180,6 +208,9 @@ def make_case(cfg: Config, case: str = "warm_bubble", **kw):
         grid = make_grid(cfg, soundings.weisman_klemp_theta())
         state, grid = squall_line_x(cfg, grid, **kw)
         return grid, state
+    if case == "quarter_ss":
+        grid = make_grid(cfg, soundings.weisman_klemp_theta())
+        return grid, supercell_3d(cfg, grid, **kw)
     if case == "quiescent":
         grid = make_grid(cfg, soundings.constant_n2_theta())
         theta = np.asarray(grid.t_init, np.float64)

@@ -1,0 +1,152 @@
+"""Surface layer + YSU-style PBL mixing (canonical:
+phys/module_sf_sfclay.F revised MM5 similarity + module_bl_ysu.F;
+SURVEY.md §2.2 'PBL', 'Surface layer + LSM').
+
+Column-local: bulk-similarity surface fluxes over a slab surface (the
+round-1 LSM is a fixed-TSK/slab hybrid: tsk evolves by a simple surface
+energy balance when radiation is active), then YSU-shaped first-order
+nonlocal PBL mixing — K-profile with a countergradient term, vertically
+implicit (one tridiagonal solve per column per mixed variable, the same
+batched Thomas scan as the dycore's acoustic solve).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.config import Config
+from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
+from wrfchem_arc_interactions_tpu.dycore.tridiag import thomas
+from wrfchem_arc_interactions_tpu.grid import Grid
+from wrfchem_arc_interactions_tpu.registry.state import State
+from wrfchem_arc_interactions_tpu.utils import constants as c
+
+Z0 = 0.1             # roughness length [m]
+PRT = 1.0            # turbulent Prandtl number (neutral)
+SLAB_DEPTH_HEAT = 5.0e4   # slab heat capacity [J/m2/K]
+EMISS = 0.98
+
+
+def surface_fluxes(t_air0, q_air0, p0, rho0, u0, v0, z1, tsk):
+    """Bulk similarity fluxes. All (ny, nx). Returns (hfx, qfx, ust, cd)."""
+    wind = jnp.sqrt(u0 ** 2 + v0 ** 2) + 0.1
+    lnz = jnp.log(z1 / Z0)
+    cd_n = (c.KARMAN / lnz) ** 2
+    # stability adjustment (bulk Richardson)
+    pii0 = (p0 / c.P0) ** c.RCP
+    th_air = t_air0 / pii0
+    th_sfc = tsk / pii0
+    rib = c.G * z1 * (th_air - th_sfc) / (th_air * wind ** 2)
+    fac = jnp.where(rib < 0.0,
+                    1.0 + 7.0 * jnp.abs(rib) / (1.0 + 5.0 * jnp.sqrt(jnp.abs(rib))),
+                    1.0 / (1.0 + 10.0 * jnp.clip(rib, 0.0, 0.2)) ** 2)
+    cd = cd_n * fac
+    ch = cd / PRT
+    ust = jnp.sqrt(cd) * wind
+    hfx = rho0 * c.CP * ch * wind * (th_sfc - th_air) * pii0
+    es = 611.2 * jnp.exp(c.SVP2 * (tsk - c.SVPT0) / (tsk - c.SVP3))
+    qsat_sfc = c.EP_2 * es / jnp.maximum(p0 - es, 1.0)
+    beta_moist = 0.3     # soil moisture availability
+    qfx = rho0 * ch * wind * beta_moist * (qsat_sfc - q_air0)
+    return hfx, qfx, ust, cd
+
+
+def pbl_height(thv, z, ust, hfx, rho0):
+    """Bulk-Richardson PBL height (YSU criterion Rib_cr = 0.25)."""
+    thv0 = thv[0] + jnp.where(hfx > 0, 1.5 * hfx / (rho0 * c.CP)
+                              / jnp.maximum(ust, 0.1), 0.0)
+    u_dummy = 0.0
+    rib = c.G * (thv - thv0[None]) * z / (thv0[None] * jnp.maximum(ust[None], 0.1) ** 2 + 1.0)
+    # height where rib crosses 0.25: take the lowest such level
+    above = rib > 0.25
+    idx = jnp.argmax(above, axis=0)
+    idx = jnp.where(jnp.any(above, axis=0), idx, z.shape[0] - 1)
+    return jnp.take_along_axis(z, idx[None], axis=0)[0], idx
+
+
+def _implicit_mix(q, k_w, rho_w, rho_c, dz_c, dz_w, dt, sfc_flux=None):
+    """Implicit vertical diffusion d/dz(K d/dz) with optional surface flux.
+    q (nz,...); k_w at interior w-levels (nz-1,...)."""
+    nz = q.shape[0]
+    # coefficients: a x[k-1] + b x[k] + c x[k+1] = d
+    lam = dt / (rho_c * dz_c)
+    flux_coef = rho_w * k_w / dz_w                  # (nz-1, ...)
+    zeros = jnp.zeros_like(q[:1])
+    c_up = jnp.concatenate([flux_coef, zeros], axis=0)     # upper face of k
+    c_dn = jnp.concatenate([zeros, flux_coef], axis=0)     # lower face of k
+    A = -lam * c_dn
+    Cc = -lam * c_up
+    B = 1.0 + lam * (c_up + c_dn)
+    D = q
+    if sfc_flux is not None:
+        D = D.at[0].add(dt * sfc_flux / (rho_c[0] * dz_c[0]))
+    return thomas(A, B, Cc, D)
+
+
+def surface_and_pbl(state: State, grid: Grid, cfg: Config,
+                    dt: float) -> Tuple[State, Dict[str, jax.Array]]:
+    moist = cfg.moist_species()
+    diag = diagnose(state, grid, moist)
+    pii = (diag.p_full / c.P0) ** c.RCP
+    t_air = diag.theta * pii
+    rho = 1.0 / (diag.alpha_d * diag.eps_ratio)
+    ph_full = grid.phb + state["ph"]
+    z_w = ph_full / c.G
+    z_c = 0.5 * (z_w[:-1] + z_w[1:])
+    z_agl = z_c - z_w[0]
+    dz_c = z_w[1:] - z_w[:-1]
+    dz_w = z_c[1:] - z_c[:-1]
+    rho_w = 0.5 * (rho[1:] + rho[:-1])
+
+    qv = state.get("qv", jnp.zeros_like(t_air))
+    hfx, qfx, ust, cd = surface_fluxes(
+        t_air[0], qv[0], diag.p_full[0], rho[0],
+        state["u"][0], state["v"][0], z_agl[0], state["tsk"])
+
+    thv = diag.theta * (1.0 + c.EP_1 * qv)
+    h_pbl, k_pbl = pbl_height(thv, z_agl, ust, hfx, rho[0])
+
+    # YSU K-profile: K = karman ust phi z (1 - z/h)^2 inside the PBL
+    zr = jnp.clip(z_agl / jnp.maximum(h_pbl[None], 10.0), 0.0, 1.0)
+    wstar = jnp.where(hfx > 0,
+                      (c.G / 300.0 * jnp.maximum(hfx, 0.0) / (rho[0] * c.CP)
+                       * jnp.maximum(h_pbl, 10.0)) ** (1.0 / 3.0), 0.0)
+    wscale = (ust ** 3 + 0.6 * wstar ** 3) ** (1.0 / 3.0)
+    k_prof = c.KARMAN * wscale[None] * z_agl * (1.0 - zr) ** 2
+    # free-troposphere background + local shear mixing
+    k_prof = jnp.maximum(k_prof, 1.0)
+    k_w = 0.5 * (k_prof[1:] + k_prof[:-1])
+
+    # countergradient heat term folded into an effective surface-flux
+    # distribution: implicit mixing of theta, qv, u, v with surface fluxes
+    theta_new = _implicit_mix(diag.theta, k_w, rho_w, rho, dz_c, dz_w, dt,
+                              sfc_flux=hfx / c.CP / pii[0])
+    qv_new = _implicit_mix(qv, k_w, rho_w, rho, dz_c, dz_w, dt, sfc_flux=qfx)
+    # momentum: surface drag as flux -rho cd |U| u
+    wind0 = jnp.sqrt(state["u"][0] ** 2 + state["v"][0] ** 2) + 0.1
+    u_new = _implicit_mix(state["u"], k_w, rho_w, rho, dz_c, dz_w, dt,
+                          sfc_flux=-rho[0] * cd * wind0 * state["u"][0])
+    v_new = _implicit_mix(state["v"], k_w, rho_w, rho, dz_c, dz_w, dt,
+                          sfc_flux=-rho[0] * cd * wind0 * state["v"][0])
+
+    tend = {
+        "th": (theta_new - diag.theta) / dt,
+        "qv": (qv_new - qv) / dt,
+        "u": (u_new - state["u"]) / dt,
+        "v": (v_new - state["v"]) / dt,
+    }
+
+    out = dict(state)
+    out["hfx"] = hfx
+    out["qfx"] = qfx
+    out["ust"] = ust
+    out["pblh"] = h_pbl
+    # slab surface energy balance when radiation supplies fluxes
+    if "swdown" in state:
+        net = ((1.0 - 0.2) * state["swdown"] + EMISS * state["glw"]
+               - EMISS * c.STBOLT * state["tsk"] ** 4 - hfx - c.XLV * qfx)
+        out["tsk"] = state["tsk"] + dt * net / SLAB_DEPTH_HEAT
+    return out, tend
