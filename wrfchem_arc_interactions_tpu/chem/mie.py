@@ -124,6 +124,51 @@ class MieTables:
                        / (self.lnx_max - self.lnx_min) - 1.0, -1.0, 1.0)
 
 
+@dataclasses.dataclass(frozen=True)
+class PolyMieTables:
+    """Gather-free fast path: each Chebyshev coefficient c_k's dependence on
+    (n_r, log10 n_i) is itself fitted by a tensor polynomial, so runtime
+    evaluation is pure fused elementwise Horner arithmetic — zero table
+    gathers (the axon TPU backend faults/hangs on gather-heavy kernels, and
+    the VPU prefers straight-line FMA work anyway).
+
+    C_* have shape (NCHEB, DEG_NR, DEG_NI): coefficient k of ln(Q) as
+    sum_{a,b} C[k,a,b] * nr_n^a * u^b, with nr_n = (nr-1.25)/0.85 and
+    u = (log10(ni)+9)/9, both in [0,1].
+    """
+    C_qext: np.ndarray
+    C_qsca: np.ndarray
+    C_g: np.ndarray
+    lnx_min: float
+    lnx_max: float
+
+
+DEG_NR = 5      # polynomial terms in normalised nr
+DEG_NI = 7      # polynomial terms in normalised log10 ni
+
+
+@functools.lru_cache(maxsize=1)
+def build_poly_tables() -> PolyMieTables:
+    """Least-squares tensor-polynomial refit of the Chebyshev grid tables."""
+    tabs = build_cheb_tables()
+    nr_n = (NR_GRID - NR_GRID[0]) / (NR_GRID[-1] - NR_GRID[0])
+    u = (np.log10(NI_GRID) + 9.0) / 9.0
+    # design matrix over the (8 x 10) grid
+    basis = np.stack([
+        np.outer(nr_n ** a, u ** b).ravel()
+        for a in range(DEG_NR) for b in range(DEG_NI)
+    ], axis=1)                                   # (80, DEG_NR*DEG_NI)
+
+    def fit(grid_coefs):                         # (8, 10, NCHEB)
+        flat = grid_coefs.reshape(-1, NCHEB)     # (80, NCHEB)
+        sol, *_ = np.linalg.lstsq(basis, flat, rcond=None)
+        return sol.T.reshape(NCHEB, DEG_NR, DEG_NI)
+
+    return PolyMieTables(
+        C_qext=fit(tabs.coef_qext), C_qsca=fit(tabs.coef_qsca),
+        C_g=fit(tabs.coef_g), lnx_min=tabs.lnx_min, lnx_max=tabs.lnx_max)
+
+
 @functools.lru_cache(maxsize=1)
 def build_cheb_tables() -> MieTables:
     lnx_min, lnx_max = np.log(X_MIN), np.log(X_MAX)

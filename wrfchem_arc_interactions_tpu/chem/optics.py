@@ -6,8 +6,14 @@ Per (cell, bin, band): volume-average the complex refractive index over the
 species mix including water (aer_op_opt=1 volume mixing; Maxwell-Garnett /
 core-shell are later-round options), get the wet size parameter, evaluate
 the Chebyshev-fit Mie efficiencies with bilinear (n_r, log n_i)
-interpolation — a fully dense, vmap-free batched computation whose inner
-Clenshaw recurrence keeps only two (nband, nz, ncol) temporaries live.
+interpolation.
+
+XLA-compile-friendly structure (the naive unrolled bins x bands x
+Chebyshev-order graph took ~7 minutes to compile): the SW and LW band axes
+are fused into one 30-band axis, bins are a `lax.scan`, and the Clenshaw
+recurrence is a `lax.fori_loop` whose body does the (n_r, n_i) bilinear
+table gather for one coefficient — peak temporaries are two
+(nband, nz, ny, nx) buffers and the graph is tiny.
 
 Writes the tau_aer_sw/ssa_aer_sw/asy_aer_sw/tau_aer_lw state arrays read by
 the radiation driver at the next radt alarm — the ARC direct-effect bridge
@@ -22,6 +28,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from wrfchem_arc_interactions_tpu.chem import mie
 from wrfchem_arc_interactions_tpu.chem.mosaic import bins as mbins
@@ -30,9 +37,8 @@ from wrfchem_arc_interactions_tpu.physics.radiation import bands as rbands
 UG_TO_KG = 1.0e-9
 
 
-def _interp_coefs(tabs: mie.MieTables, nr, ni, dtype):
-    """Bilinear interpolation weights into the (NR_GRID, NI_GRID) tables.
-    nr, ni: (...). Returns (c_q, c_s, c_g) each (NCHEB, ...)."""
+def _interp_weights(nr, ni):
+    """Bilinear index/weight sets into the (NR_GRID, log10 NI_GRID) tables."""
     nrg = mie.NR_GRID
     fr = (jnp.clip(nr, nrg[0], nrg[-1]) - nrg[0]) / (nrg[1] - nrg[0])
     jr = jnp.clip(jnp.floor(fr).astype(jnp.int32), 0, len(nrg) - 2)
@@ -41,16 +47,42 @@ def _interp_coefs(tabs: mie.MieTables, nr, ni, dtype):
     fi = (lni - (-9.0)) / 1.0
     ji = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, len(mie.NI_GRID) - 2)
     wi = fi - ji
+    return jr, wr, ji, wi
+
+
+def _poly_cheb_eval(C: "np.ndarray", nr_n, u, t):
+    """Evaluate the gather-free tensor-polynomial Mie fit: Clenshaw in t
+    with each coefficient c_k(nr, ni) evaluated by nested Horner with
+    *scalar* (compile-time constant) coefficients — pure fused VPU FMA
+    chains, no gathers, no dynamic control flow."""
+    b0 = 0.0 * t
+    b1 = b0
+    c0 = None
+    for k in range(mie.NCHEB - 1, -1, -1):
+        ck = None
+        for a in range(mie.DEG_NR - 1, -1, -1):
+            racc = None
+            for b in range(mie.DEG_NI - 1, -1, -1):
+                cf = float(C[k, a, b])
+                racc = cf + (0.0 * u if racc is None else racc * u)
+            ck = racc + (0.0 if ck is None else ck * nr_n)
+        b0, b1 = 2.0 * t * b0 - b1 + ck, b0
+        if k == 0:
+            c0 = ck
+    return b0 - t * b1 - 0.5 * c0
+
+
+def _interp_coefs(tabs: mie.MieTables, nr, ni, dtype):
+    """Full (NCHEB, ...) interpolated coefficient arrays (test helper)."""
+    jr, wr, ji, wi = _interp_weights(nr, ni)
 
     def interp(table):
-        tb = jnp.asarray(table, dtype)           # (n_nr, n_ni, NCHEB)
-        c00 = tb[jr, ji]                          # (..., NCHEB)
-        c01 = tb[jr, ji + 1]
-        c10 = tb[jr + 1, ji]
-        c11 = tb[jr + 1, ji + 1]
-        c = ((1 - wr)[..., None] * ((1 - wi)[..., None] * c00 + wi[..., None] * c01)
-             + wr[..., None] * ((1 - wi)[..., None] * c10 + wi[..., None] * c11))
-        return jnp.moveaxis(c, -1, 0)            # (NCHEB, ...)
+        tb = jnp.asarray(table, dtype)
+        c = ((1 - wr)[..., None] * ((1 - wi)[..., None] * tb[jr, ji]
+                                    + wi[..., None] * tb[jr, ji + 1])
+             + wr[..., None] * ((1 - wi)[..., None] * tb[jr + 1, ji]
+                                + wi[..., None] * tb[jr + 1, ji + 1]))
+        return jnp.moveaxis(c, -1, 0)
 
     return interp(tabs.coef_qext), interp(tabs.coef_qsca), interp(tabs.coef_g)
 
@@ -60,84 +92,87 @@ def bin_optics(d_wet, n_air, nr_eff, ni_eff, wavelengths_um, tabs: mie.MieTables
 
     d_wet: (...,) wet diameter [m]; n_air: (...,) number per m3;
     nr_eff/ni_eff: (nband, ...); wavelengths_um: (nband,).
-    Returns (ext, sca, g_as): ext/sca are extinction/scatter coefficients
-    [1/m] (multiply by layer dz for optical depth).
+    Returns (ext, sca, g_as): ext/sca in [1/m].
     """
     dtype = d_wet.dtype
-    lam = jnp.asarray(wavelengths_um * 1e-6, dtype).reshape(
+    lam = jnp.asarray(np.asarray(wavelengths_um) * 1e-6, dtype).reshape(
         (-1,) + (1,) * d_wet.ndim)
     x = jnp.pi * d_wet[None] / lam
     lnx = jnp.log(jnp.maximum(x, 1e-6))
     t = jnp.clip(2.0 * (lnx - tabs.lnx_min) / (tabs.lnx_max - tabs.lnx_min) - 1.0,
                  -1.0, 1.0)
-    cq, cs, cg = _interp_coefs(tabs, nr_eff, ni_eff, dtype)
-    qe = jnp.exp(jnp.clip(mie.cheb_eval(cq, t), -60.0, 3.0))
-    qs = jnp.exp(jnp.clip(mie.cheb_eval(cs, t), -60.0, 3.0))
-    gg = mie.cheb_eval(cg, t)
+    ptabs = mie.build_poly_tables()
+    nrg = mie.NR_GRID
+    nr_n = (jnp.clip(nr_eff, nrg[0], nrg[-1]) - nrg[0]) / (nrg[-1] - nrg[0])
+    u = (jnp.log10(jnp.clip(ni_eff, 1e-9, 1.0)) + 9.0) / 9.0
+    qe = jnp.exp(jnp.clip(
+        _poly_cheb_eval(ptabs.C_qext, nr_n, u, t), -60.0, 3.0))
+    qs = jnp.exp(jnp.clip(
+        _poly_cheb_eval(ptabs.C_qsca, nr_n, u, t), -60.0, 3.0))
+    gg = _poly_cheb_eval(ptabs.C_g, nr_n, u, t)
     qs = jnp.minimum(qs, qe)
     gg = jnp.clip(gg, 0.0, 1.0)
-    area = 0.25 * jnp.pi * d_wet ** 2 * n_air     # [1/m] cross-section conc.
+    area = 0.25 * jnp.pi * d_wet ** 2 * n_air
     return qe * area[None], qs * area[None], gg
 
 
 def aerosol_optics(chem_fields: Dict[str, jax.Array], rho_air, dz,
                    nbin: int) -> Dict[str, jax.Array]:
-    """Compute (tau, ssa, asy) per SW band and absorption tau per LW band.
+    """(tau, ssa, asy) per SW band + absorption tau per LW band.
 
-    chem_fields: state chem arrays (ug/kg for masses, #/kg for num_*),
-    each (nz, ny, nx); rho_air, dz same shape. Returns the four state
-    optics arrays.
+    chem_fields: state chem arrays (ug/kg masses, #/kg numbers), each
+    (nz, ny, nx); rho_air, dz same shape.
     """
     dtype = rho_air.dtype
     tabs = mie.build_cheb_tables()
     sw_um = rbands.band_centers_sw_um()
     lw_um = rbands.band_centers_lw_um()
-    sp_sw = mbins.species_arrays(sw_um)
-    sp_lw = mbins.species_arrays(lw_um)
-    grid_b = mbins.make_bins(nbin)
+    all_um = np.concatenate([sw_um, lw_um])
+    nb_sw = rbands.NBND_SW
+    nb_all = len(all_um)
+    sp = mbins.species_arrays(all_um)
     names = list(mbins.AER_SPECIES) + ["water"]
-
+    nsp = len(names)
     shp = rho_air.shape
-    tau_sw = jnp.zeros((rbands.NBND_SW,) + shp, dtype)
-    sca_sw = jnp.zeros_like(tau_sw)
-    g_sca_sw = jnp.zeros_like(tau_sw)
-    tau_lw_abs = jnp.zeros((rbands.NBND_LW,) + shp, dtype)
+    ndim = len(shp)
 
-    for b in range(1, nbin + 1):
-        vol = jnp.zeros(shp, dtype)
-        vols = []
-        for s in names:
-            m = chem_fields[f"chem_{s}_a{b:02d}"] * UG_TO_KG   # kg/kg
-            v = m / mbins.DENSITY[s]                           # m3/kg air
-            vols.append(v)
-            vol = vol + v
-        num = jnp.maximum(chem_fields[f"chem_num_a{b:02d}"], 1.0)  # #/kg
-        vol = jnp.maximum(vol, 1e-30)
-        d_wet = (6.0 * vol / (jnp.pi * num)) ** (1.0 / 3.0)
-        d_wet = jnp.clip(d_wet, 1e-9, 50e-6)
-        n_air = num * rho_air                                   # #/m3
+    # stacked per-bin inputs: (nbin, nsp, *shp) volumes and (nbin, *shp) num
+    vols = jnp.stack([
+        jnp.stack([chem_fields[f"chem_{s}_a{b:02d}"] * (UG_TO_KG / mbins.DENSITY[s])
+                   for s in names])
+        for b in range(1, nbin + 1)])
+    nums = jnp.stack([jnp.maximum(chem_fields[f"chem_num_a{b:02d}"], 1.0)
+                      for b in range(1, nbin + 1)])
 
-        for kind, sp, nbnd in (("sw", sp_sw, rbands.NBND_SW),
-                               ("lw", sp_lw, rbands.NBND_LW)):
-            nr_t = jnp.asarray(sp["nr"], dtype)   # (nspecies, nband)
-            ni_t = jnp.asarray(sp["ni"], dtype)
-            nr_eff = jnp.zeros((nbnd,) + shp, dtype)
-            ni_eff = jnp.zeros((nbnd,) + shp, dtype)
-            for i, v in enumerate(vols):
-                f = (v / vol)
-                nr_eff = nr_eff + nr_t[i].reshape((-1,) + (1,) * len(shp)) * f[None]
-                ni_eff = ni_eff + ni_t[i].reshape((-1,) + (1,) * len(shp)) * f[None]
-            um = sw_um if kind == "sw" else lw_um
-            ext, sca, gg = bin_optics(d_wet, n_air, nr_eff, ni_eff, um, tabs)
-            if kind == "sw":
-                tau_sw = tau_sw + ext * dz[None]
-                sca_sw = sca_sw + sca * dz[None]
-                g_sca_sw = g_sca_sw + gg * sca * dz[None]
-            else:
-                tau_lw_abs = tau_lw_abs + (ext - sca) * dz[None]
+    nr_sp = jnp.asarray(sp["nr"], dtype)        # (nsp, nband)
+    ni_sp = jnp.asarray(sp["ni"], dtype)
+    bshape = (nb_all,) + (1,) * ndim
 
+    def one_bin(carry, xs):
+        ext_a, sca_a, gsca_a = carry
+        v_sp, num = xs                           # (nsp, *shp), (*shp)
+        vol = jnp.maximum(jnp.sum(v_sp, axis=0), 1e-30)
+        frac = v_sp / vol                        # (nsp, *shp)
+        d_wet = jnp.clip((6.0 * vol / (jnp.pi * num)) ** (1.0 / 3.0),
+                         1e-9, 50e-6)
+        n_air = num * rho_air
+        # volume-mixed refractive index per band: (nband, *shp)
+        nr_eff = jnp.einsum("sb,s...->b...", nr_sp, frac)
+        ni_eff = jnp.einsum("sb,s...->b...", ni_sp, frac)
+        ext, sca, gg = bin_optics(d_wet, n_air, nr_eff, ni_eff, all_um, tabs)
+        return (ext_a + ext * dz[None], sca_a + sca * dz[None],
+                gsca_a + gg * sca * dz[None]), None
+
+    zero = jnp.zeros((nb_all,) + shp, dtype)
+    (ext_t, sca_t, gsca_t), _ = lax.scan(one_bin, (zero, zero, zero),
+                                         (vols, nums))
+
+    tau_sw = ext_t[:nb_sw]
+    sca_sw = sca_t[:nb_sw]
+    gsca_sw = gsca_t[:nb_sw]
+    tau_lw_abs = ext_t[nb_sw:] - sca_t[nb_sw:]
     ssa = jnp.where(tau_sw > 0, sca_sw / jnp.maximum(tau_sw, 1e-30), 1.0)
-    asy = jnp.where(sca_sw > 0, g_sca_sw / jnp.maximum(sca_sw, 1e-30), 0.0)
+    asy = jnp.where(sca_sw > 0, gsca_sw / jnp.maximum(sca_sw, 1e-30), 0.0)
     return {"tau_aer_sw": tau_sw, "ssa_aer_sw": jnp.clip(ssa, 0.0, 1.0),
             "asy_aer_sw": jnp.clip(asy, 0.0, 1.0),
             "tau_aer_lw": jnp.maximum(tau_lw_abs, 0.0)}

@@ -81,20 +81,44 @@ class Simulation:
         else:
             self.state = state
 
-    def _stepper(self, do_rad: bool, do_chem: bool) -> Callable:
-        key = (do_rad, do_chem)
+    def _wrap(self, fn):
+        """shard_map+jit a (state, grid, time_s) -> state function."""
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            fn = jax.shard_map(fn, mesh=self.mesh,
+                               in_specs=(self._s_specs, self._g_specs, P()),
+                               out_specs=self._s_specs)
+        return jax.jit(fn)
+
+    def _stepper(self, key: str) -> Callable:
+        """Three separately-compiled executables — 'rad', 'main', 'chem' —
+        instead of one fused program per alarm combination: XLA compile time
+        for the combined graph is prohibitive, the alarm pieces run at
+        radt/chemdt cadence anyway, and the main dycore binary is reused on
+        every step."""
         if key not in self._steppers:
             cfg, hx, dt = self.cfg, self.hx, self.dt
+            if key == "main":
+                def fn(s, g, t_s):
+                    s, tend = pre_dynamics(s, g, cfg, hx, dt, False, t_s)
+                    s = dyn_step(s, g, cfg, hx, dt, tend)
+                    return post_dynamics(s, g, cfg, hx, dt, False)
+            elif key == "rad":
+                from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
+                    radiation_driver,
+                )
 
-            def fn(s, g, t_s):
-                return full_step(s, g, cfg, hx, dt, do_rad, do_chem, t_s)
+                def fn(s, g, t_s):
+                    return radiation_driver(s, g, cfg, t_s)
+            elif key == "chem":
+                from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
 
-            if self.mesh is not None:
-                from jax.sharding import PartitionSpec as P
-                fn = jax.shard_map(fn, mesh=self.mesh,
-                                   in_specs=(self._s_specs, self._g_specs, P()),
-                                   out_specs=self._s_specs)
-            self._steppers[key] = jax.jit(fn)
+                def fn(s, g, t_s):
+                    return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
+                                       time_s=t_s)
+            else:
+                raise ValueError(key)
+            self._steppers[key] = self._wrap(fn)
         return self._steppers[key]
 
     def advance(self, n_steps: int,
@@ -102,10 +126,13 @@ class Simulation:
         for _ in range(n_steps):
             do_rad = self.rad_every > 0 and self.step_idx % self.rad_every == 0
             do_chem = self.chem_every > 0 and self.step_idx % self.chem_every == 0
-            stepper = self._stepper(do_rad, do_chem)
             t0 = time.perf_counter()
-            self.state = stepper(self.state, self.grid,
-                                 jnp.float32(self.time_s))
+            t_now = jnp.float32(self.time_s)
+            if do_chem:
+                self.state = self._stepper("chem")(self.state, self.grid, t_now)
+            if do_rad:
+                self.state = self._stepper("rad")(self.state, self.grid, t_now)
+            self.state = self._stepper("main")(self.state, self.grid, t_now)
             jax.block_until_ready(self.state["t"])
             elapsed = time.perf_counter() - t0
             self.step_times.append(elapsed)

@@ -25,6 +25,39 @@ from wrfchem_arc_interactions_tpu.utils import constants as c
 ALBEDO = 0.2
 JULIAN_DAY = 172.0   # near-solstice default for ideal runs
 DECL = 23.45 * c.DEG2RAD
+# columns per spectral-solver call: bounds the live (ngpt, nz, chunk)
+# temporaries to ~HBM-friendly sizes (the reference amortises the same cost
+# over radt; here we also bound peak memory). 2048 cols x 140 gpt x 60 lev
+# x 4 B ~ 70 MB per temp.
+COL_CHUNK = 2048
+
+
+def _map_col_chunks(fn, ncol: int, *args):
+    """Apply fn over column chunks (last axis) with zero-padding to a
+    multiple of COL_CHUNK; returns outputs with the padding stripped."""
+    if ncol <= COL_CHUNK:
+        return fn(*args)
+    import math
+    nchunk = math.ceil(ncol / COL_CHUNK)
+    pad_n = nchunk * COL_CHUNK - ncol
+
+    def pad_arg(a):
+        if a.shape[-1] != ncol:
+            return a
+        pw = [(0, 0)] * (a.ndim - 1) + [(0, pad_n)]
+        a = jnp.pad(a, pw, mode="edge")
+        return jnp.moveaxis(
+            a.reshape(a.shape[:-1] + (nchunk, COL_CHUNK)), -2, 0)
+
+    args_c = jax.tree.map(pad_arg, args)
+    out = jax.lax.map(lambda xs: fn(*xs), args_c)
+
+    def unpad(a):
+        a = jnp.moveaxis(a, 0, -2)
+        a = a.reshape(a.shape[:-2] + (nchunk * COL_CHUNK,))
+        return a[..., :ncol]
+
+    return jax.tree.map(unpad, out)
 
 
 def cos_zenith(time_s, xlat, xlong, julian_day: float = JULIAN_DAY):
@@ -73,18 +106,28 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
 
     out = dict(state)
     if phys.ra_lw_physics != RAScheme.NONE:
-        lw = lw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, t_sfc, tau_aer_lw=aer_lw)
+        if aer_lw is not None:
+            lw = _map_col_chunks(
+                lambda *a: lw_fluxes(*a[:-1], tau_aer_lw=a[-1]),
+                ncol, p_lay, t_lay, dp_lay, qv, lwp, t_sfc, aer_lw)
+        else:
+            lw = _map_col_chunks(lw_fluxes, ncol,
+                                 p_lay, t_lay, dp_lay, qv, lwp, t_sfc)
         out["rthraten_lw"] = unflat(lw["heating"] / exner)
         out["glw"] = unflat(lw["glw"])
         out["olr"] = unflat(lw["olr"])
     if phys.ra_sw_physics != RAScheme.NONE:
         mu0 = cos_zenith(time_s, grid.xlat, grid.xlong).reshape(ncol)
         albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
-        kw = {}
         if aer_sw is not None:
-            kw = {"tau_aer_sw": aer_sw[0], "ssa_aer_sw": aer_sw[1],
-                  "asy_aer_sw": aer_sw[2]}
-        sw = sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo, **kw)
+            sw = _map_col_chunks(
+                lambda *a: sw_fluxes(*a[:7], tau_aer_sw=a[7],
+                                     ssa_aer_sw=a[8], asy_aer_sw=a[9]),
+                ncol, p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
+                aer_sw[0], aer_sw[1], aer_sw[2])
+        else:
+            sw = _map_col_chunks(sw_fluxes, ncol,
+                                 p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo)
         out["rthraten_sw"] = unflat(sw["heating"] / exner)
         out["swdown"] = unflat(sw["swdown"])
         out["swupt"] = unflat(sw["swup_toa"])
