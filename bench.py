@@ -10,11 +10,24 @@ vs_baseline is 1.0 against the driver-recorded history.
 """
 
 import json
+import os
 import time
 
 
 def main():
     import jax
+
+    # persistent executable cache: the axon remote-compile service is slow
+    # and flaky under load; cache hits make reruns (and driver reruns)
+    # independent of its health
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,4 +78,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # transient TPU-service faults: retry
+            print(f"bench attempt {attempt + 1} failed: {e!r}", file=sys.stderr)
+            if attempt == 2:
+                raise
+            time.sleep(90)

@@ -95,3 +95,35 @@ def test_pd_limiter_keeps_positive():
     assert q_lim.min() > -1e-7
     # limiter must conserve mass
     np.testing.assert_allclose(q_lim.sum(), q_unlim.sum(), rtol=1e-6)
+
+
+def test_mono_limiter_no_new_extrema():
+    """FCT keeps the solution within local bounds and conserves mass."""
+    cfg, grid, hx = setup(32, ny=4, nz=6)
+    nz, ny, nx = 6, 4, 32
+    rng = np.random.default_rng(5)
+    q = np.zeros((nz, ny, nx))
+    q[:, :, 10:13] = 1.0
+    mu_new = jnp.ones((ny, nx))
+    # x-independent u => nondivergent flow, so mu stays 1 and the coupled
+    # FCT bounds apply pointwise (a divergent test field would legitimately
+    # exceed pointwise bounds through real mass convergence)
+    u = np.broadcast_to(
+        rng.uniform(0.5, 1.0, (nz, ny, 1)), (nz, ny, nx)).copy() * nx / 4
+    ru = u
+    rv = np.zeros((nz, ny, nx))
+    ww = np.zeros((nz + 1, ny, nx))
+    dt = 0.5 * (1.0 / nx) / np.max(u)
+    q_pad = hx.pad(jnp.asarray(q))
+    ru_pad = hx.pad(jnp.asarray(ru))
+    rv_pad = hx.pad(jnp.asarray(rv))
+    fx, fy, fz = adv.scalar_fluxes(q_pad, ru_pad, rv_pad, jnp.asarray(ww), 5, 3)
+    phi_old = jnp.asarray(q)
+    q_unlim = np.asarray(phi_old + dt * adv.flux_div(fx, fy, fz, grid))
+    assert q_unlim.min() < -1e-6 or q_unlim.max() > 1.0 + 1e-6
+    fxl, fyl, fzl = adv.mono_limit(q_pad, phi_old, mu_new, fx, fy, fz,
+                                   ru_pad, rv_pad, jnp.asarray(ww), dt, grid, hx)
+    q_lim = np.asarray(phi_old + dt * adv.flux_div(fxl, fyl, fzl, grid))
+    assert q_lim.min() > -1e-6
+    assert q_lim.max() < 1.0 + 1e-5
+    np.testing.assert_allclose(q_lim.sum(), q_unlim.sum(), rtol=1e-6)

@@ -263,3 +263,81 @@ def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
     # lower cell k-1.
     az_l = az * jnp.where(az > 0, r_hi, r_lo)
     return lx + ax_l, ly + ay_l, lz + az_l
+
+
+# ---------------------------------------------------------------------------
+# Monotonic (FCT/Zalesak) limiter — moist_adv_opt=2 (canonical
+# advect_scalar_mono)
+# ---------------------------------------------------------------------------
+
+def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
+               dt: float, grid: Grid, hx) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Zalesak flux-corrected transport: the final solution stays within the
+    local min/max of the upwind solution and the old field (positivity plus
+    no new extrema). Bounds are enforced in coupled units Phi = mu q with
+    the new column mass `mu_new` (ny, nx)."""
+    q_int = win(q_pad, 0, 0)
+    lx = flux1(win(ru_pad, 0, 0, ex=1), win(q_pad, 0, -1, ex=1), win(q_pad, 0, 0, ex=1))
+    ly = flux1(win(rv_pad, 0, 0, ey=1), win(q_pad, -1, 0, ey=1), win(q_pad, 0, 0, ey=1))
+    lz = vflux(ww, q_int, 1)
+    lz = lz.at[0].set(0.0).at[-1].set(0.0)
+    phi_td = phi_old + dt * flux_div(lx, ly, lz, grid)
+
+    # local bounds from the 7-point neighborhood of q (old) and q_td
+    q_td = phi_td / mu_new[None]
+    qtd_pad = hx.pad(q_td, 1)
+    wn = lambda a, dy, dx, p: win(a, dy, dx, pad=p)
+    neigh = [wn(q_pad, 0, 0, 3), wn(q_pad, 0, 1, 3), wn(q_pad, 0, -1, 3),
+             wn(q_pad, 1, 0, 3), wn(q_pad, -1, 0, 3),
+             wn(qtd_pad, 0, 0, 1), wn(qtd_pad, 0, 1, 1), wn(qtd_pad, 0, -1, 1),
+             wn(qtd_pad, 1, 0, 1), wn(qtd_pad, -1, 0, 1),
+             jnp.concatenate([q_int[:1], q_int[:-1]], axis=0),
+             jnp.concatenate([q_int[1:], q_int[-1:]], axis=0)]
+    q_max = neigh[0]
+    q_min = neigh[0]
+    for n_ in neigh[1:]:
+        q_max = jnp.maximum(q_max, n_)
+        q_min = jnp.minimum(q_min, n_)
+    phi_max = q_max * mu_new[None]
+    phi_min = jnp.maximum(q_min, 0.0) * mu_new[None]
+
+    ax, ay, az = fx - lx, fy - ly, fz - lz
+    rdnw = grid.rdnw.reshape(-1, 1, 1)
+    # incoming / outgoing antidiffusive sums (in Phi units over dt)
+    in_x = jnp.maximum(-ax[:, :, 1:], 0.0) + jnp.maximum(ax[:, :, :-1], 0.0)
+    out_x = jnp.maximum(ax[:, :, 1:], 0.0) + jnp.maximum(-ax[:, :, :-1], 0.0)
+    in_y = jnp.maximum(-ay[:, 1:, :], 0.0) + jnp.maximum(ay[:, :-1, :], 0.0)
+    out_y = jnp.maximum(ay[:, 1:, :], 0.0) + jnp.maximum(-ay[:, :-1, :], 0.0)
+    up_c = -az[1:] * rdnw
+    lo_c = az[:-1] * rdnw
+    in_z = jnp.maximum(up_c, 0.0) + jnp.maximum(lo_c, 0.0)
+    out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
+    p_in = dt * (in_x * grid.rdx + in_y * grid.rdy + in_z)
+    p_out = dt * (out_x * grid.rdx + out_y * grid.rdy + out_z)
+    r_plus = jnp.where(p_in > 0.0,
+                       jnp.minimum(1.0, (phi_max - phi_td) / jnp.maximum(p_in, 1e-30)),
+                       1.0)
+    r_minus = jnp.where(p_out > 0.0,
+                        jnp.minimum(1.0, (phi_td - phi_min) / jnp.maximum(p_out, 1e-30)),
+                        1.0)
+    r_plus = jnp.clip(r_plus, 0.0, 1.0)
+    r_minus = jnp.clip(r_minus, 0.0, 1.0)
+    g1 = hx.pad_many({"rp": r_plus, "rm": r_minus}, 1)
+    rp, rm = g1["rp"], g1["rm"]
+    w1 = lambda a, dy, dx, ey=0, ex=0: win(a, dy, dx, ey=ey, ex=ex, pad=1)
+    # face factor = min(R- of donor, R+ of receiver)
+    ax_f = jnp.where(ax > 0,
+                     jnp.minimum(w1(rm, 0, -1, ex=1), w1(rp, 0, 0, ex=1)),
+                     jnp.minimum(w1(rm, 0, 0, ex=1), w1(rp, 0, -1, ex=1)))
+    ay_f = jnp.where(ay > 0,
+                     jnp.minimum(w1(rm, -1, 0, ey=1), w1(rp, 0, 0, ey=1)),
+                     jnp.minimum(w1(rm, 0, 0, ey=1), w1(rp, -1, 0, ey=1)))
+    rp_ze = _zpad(r_plus, 1)
+    rm_ze = _zpad(r_minus, 1)
+    nzf = az.shape[0]
+    rp_lo, rp_hi = rp_ze[0:nzf], rp_ze[1:nzf + 1]
+    rm_lo, rm_hi = rm_ze[0:nzf], rm_ze[1:nzf + 1]
+    az_f = jnp.where(az > 0,
+                     jnp.minimum(rm_hi, rp_lo),   # downward: drains upper k
+                     jnp.minimum(rm_lo, rp_hi))
+    return lx + ax * ax_f, ly + ay * ay_f, lz + az * az_f

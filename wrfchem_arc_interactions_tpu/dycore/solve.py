@@ -233,9 +233,13 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         for q in scalars:
             q_pad = gA[q]
             fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s, h_s, v_s)
-            if final and dyn.moist_adv_opt != AdvLimiter.NONE:
+            if final and dyn.moist_adv_opt == AdvLimiter.POSITIVE_DEFINITE:
                 fx, fy, fz = adv.pd_limit(q_pad, phi_old[q], fx, fy, fz,
                                           ru_s, rv_s, ww_s, dts, grid, hx)
+            elif final and dyn.moist_adv_opt == AdvLimiter.MONOTONIC:
+                fx, fy, fz = adv.mono_limit(q_pad, phi_old[q], mu_full_new,
+                                            fx, fy, fz, ru_s, rv_s, ww_s,
+                                            dts, grid, hx)
             tend = adv.flux_div(fx, fy, fz, grid) + mu_full[None] * pt.get(q, 0.0)
             qn = (phi_old[q] + dts * tend) / mu_full_new[None]
             if final and dyn.moist_adv_opt != AdvLimiter.NONE:
