@@ -168,3 +168,25 @@ def test_radiation_in_simulation():
     assert np.isfinite(swdown).all() and np.isfinite(olr).all()
     assert (olr > 100.0).all() and (olr < 400.0).all()
     assert np.abs(hr).max() > 0.0
+
+
+def test_simple_radiation_scheme():
+    """RAScheme.SIMPLE cross-check: broadband fluxes in the same physical
+    ballpark as the spectral solver."""
+    from wrfchem_arc_interactions_tpu.physics.radiation.simple import (
+        lw_simple, sw_simple,
+    )
+    p, t, dp, qv, lwp, ts = standard_column()
+    lw_ref = lw_fluxes(p, t, dp, qv, lwp, ts)
+    lw_s = lw_simple(p, t, dp, qv, lwp, ts)
+    assert 0.5 < float(lw_s["olr"][0]) / float(lw_ref["olr"][0]) < 2.0
+    assert 0.5 < float(lw_s["glw"][0]) / float(lw_ref["glw"][0]) < 2.0
+    mu0 = jnp.full((2,), 0.7, jnp.float32)
+    alb = jnp.full((2,), 0.2, jnp.float32)
+    sw_ref = sw_fluxes(p, t, dp, qv, lwp, mu0, alb)
+    sw_s = sw_simple(p, t, dp, qv, lwp, mu0, alb)
+    assert 0.6 < float(sw_s["swdown"][0]) / float(sw_ref["swdown"][0]) < 1.6
+    # cloudy: simple scheme must also dim the surface
+    p, t, dp, qv, lwp_c, ts = standard_column(lwp_cloud=0.2)
+    sw_c = sw_simple(p, t, dp, qv, lwp_c, mu0, alb)
+    assert float(sw_c["swdown"][0]) < 0.7 * float(sw_s["swdown"][0])

@@ -77,6 +77,37 @@ def _filter6(q_pad, grid: Grid, factor: float, dt: float):
     return -coef * (sx + sy)
 
 
+CK_TKE = 0.10      # K = ck * l * sqrt(e)
+CE_TKE = 0.93      # dissipation = ce * e^1.5 / l
+
+
+def tke_exchange_and_tendency(state, grid: Grid, cfg: Config, dz):
+    """1.5-order TKE closure (km_opt=2; canonical tke_rhs of
+    module_diffusion_em.F): returns (K_m at mass points, d(tke)/dt from
+    shear + buoyancy production and dissipation). Mixing-length limited by
+    the stable-stratification scale sqrt(e)/N."""
+    from wrfchem_arc_interactions_tpu.utils.constants import G, T0
+    e = jnp.maximum(state["tke"], 1e-4)
+    theta = state["t"] + T0
+    delta = (grid.dx * grid.dy) ** 0.5
+    # N^2 and vertical shear on mass levels (central differences)
+    dthdz = jnp.gradient(theta, axis=0) / jnp.maximum(dz, 1.0)
+    n2 = G / theta * dthdz
+    dudz = jnp.gradient(state["u"], axis=0) / jnp.maximum(dz, 1.0)
+    dvdz = jnp.gradient(state["v"], axis=0) / jnp.maximum(dz, 1.0)
+    shear2 = dudz ** 2 + dvdz ** 2
+    l_strat = jnp.where(n2 > 1e-10, 0.76 * jnp.sqrt(e / jnp.maximum(n2, 1e-10)),
+                        delta)
+    l_mix = jnp.minimum(delta, l_strat)
+    k_m = CK_TKE * l_mix * jnp.sqrt(e)
+    k_h_fac = 1.0 + 2.0 * l_mix / delta          # Pr_t^-1 of the closure
+    prod_s = k_m * shear2
+    prod_b = -k_m * k_h_fac * n2
+    dissip = CE_TKE * e ** 1.5 / jnp.maximum(l_mix, 1.0)
+    dtke = prod_s + prod_b - dissip
+    return k_m, dtke
+
+
 def diffusion_tendencies(state, grid: Grid, cfg: Config, hx: HaloOps,
                          dt: float, scalars: Tuple[str, ...]) -> Dict[str, jax.Array]:
     """phys_tend contributions from subgrid mixing (uncoupled rates)."""
@@ -85,7 +116,13 @@ def diffusion_tendencies(state, grid: Grid, cfg: Config, hx: HaloOps,
     for q in scalars:
         fields[q] = state[q]
     g = hx.pad_many(fields, 3)
-    k_h = smagorinsky_k(g["u"], g["v"], grid, cfg)
+    if dyn.km_opt.value == "tke" and "tke" in state:
+        ph_full = grid.phb + state["ph"]
+        dz_tke = (ph_full[1:] - ph_full[:-1]) / 9.81
+        k_h, dtke = tke_exchange_and_tendency(state, grid, cfg, dz_tke)
+    else:
+        k_h = smagorinsky_k(g["u"], g["v"], grid, cfg)
+        dtke = None
     k_pad = hx.pad(k_h, 3)
 
     out: Dict[str, jax.Array] = {}
@@ -112,4 +149,6 @@ def diffusion_tendencies(state, grid: Grid, cfg: Config, hx: HaloOps,
         out["th"] = out["th"] + _filter6(g["t"], grid, f, dt)
         for q in scalars:
             out[q] = out[q] + _filter6(g[q], grid, f, dt)
+    if dtke is not None:
+        out["tke"] = out.get("tke", 0.0) + dtke
     return out

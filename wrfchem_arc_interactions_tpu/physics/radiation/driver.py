@@ -105,7 +105,13 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
         aer_lw = flatb(state["tau_aer_lw"])
 
     out = dict(state)
-    if phys.ra_lw_physics != RAScheme.NONE:
+    if phys.ra_lw_physics == RAScheme.SIMPLE:
+        from wrfchem_arc_interactions_tpu.physics.radiation.simple import lw_simple
+        lw = lw_simple(p_lay, t_lay, dp_lay, qv, lwp, t_sfc)
+        out["rthraten_lw"] = unflat(lw["heating"] / exner)
+        out["glw"] = unflat(lw["glw"])
+        out["olr"] = unflat(lw["olr"])
+    elif phys.ra_lw_physics != RAScheme.NONE:
         if aer_lw is not None:
             lw = _map_col_chunks(
                 lambda *a: lw_fluxes(*a[:-1], tau_aer_lw=a[-1]),
@@ -116,7 +122,15 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
         out["rthraten_lw"] = unflat(lw["heating"] / exner)
         out["glw"] = unflat(lw["glw"])
         out["olr"] = unflat(lw["olr"])
-    if phys.ra_sw_physics != RAScheme.NONE:
+    if phys.ra_sw_physics == RAScheme.SIMPLE:
+        from wrfchem_arc_interactions_tpu.physics.radiation.simple import sw_simple
+        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong).reshape(ncol)
+        albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
+        sw = sw_simple(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo)
+        out["rthraten_sw"] = unflat(sw["heating"] / exner)
+        out["swdown"] = unflat(sw["swdown"])
+        out["swupt"] = unflat(sw["swup_toa"])
+    elif phys.ra_sw_physics != RAScheme.NONE:
         mu0 = cos_zenith(time_s, grid.xlat, grid.xlong).reshape(ncol)
         albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
         if aer_sw is not None:
