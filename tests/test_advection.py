@@ -127,3 +127,45 @@ def test_mono_limiter_no_new_extrema():
     assert q_lim.min() > -1e-6
     assert q_lim.max() < 1.0 + 1e-5
     np.testing.assert_allclose(q_lim.sum(), q_unlim.sum(), rtol=1e-6)
+
+
+def test_weno5_smooth_convergence():
+    """WENO5 reaches ~5th order on smooth fields."""
+    import jax
+    with jax.enable_x64(True):
+        e1 = x_advection_error(32, 7)
+        e2 = x_advection_error(64, 7)
+    rate = np.log2(e1 / e2)
+    assert rate > 4.2, f"WENO5 observed rate {rate:.2f}"
+
+
+def test_weno5_essentially_nonoscillatory():
+    """On a step profile WENO5 overshoots far less than linear 5th order,
+    and conserves mass exactly (telescoping fluxes)."""
+    cfg, grid, hx = setup(64, ny=4, nz=4)
+    nz, ny, nx = 4, 4, 64
+    q = np.zeros((nz, ny, nx))
+    q[:, :, 20:33] = 1.0
+    u = np.full((nz, ny, nx), float(nx) / 4)
+    rv = np.zeros((nz, ny, nx))
+    ww = np.zeros((nz + 1, ny, nx))
+    dt = 0.5 * (1.0 / nx) / u.max()
+    q_pad = hx.pad(jnp.asarray(q))
+    ru_pad = hx.pad(jnp.asarray(u))
+    rv_pad = hx.pad(jnp.asarray(rv))
+
+    def overshoot(order):
+        qq = jnp.asarray(q)
+        for _ in range(20):
+            qq_pad = hx.pad(qq)
+            tend = adv.advect_scalar(qq_pad, ru_pad, rv_pad,
+                                     jnp.asarray(ww), grid, order, order)
+            qq = qq + dt * tend
+        arr = np.asarray(qq)
+        return max(arr.max() - 1.0, -arr.min()), arr.sum()
+
+    over5, mass5 = overshoot(5)
+    overw, massw = overshoot(7)
+    np.testing.assert_allclose(massw, q.sum(), rtol=1e-5)
+    assert overw < 0.2 * max(over5, 1e-12) or overw < 1e-3, \
+        f"WENO5 overshoot {overw:.2e} vs linear-5th {over5:.2e}"

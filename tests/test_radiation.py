@@ -190,3 +190,88 @@ def test_simple_radiation_scheme():
     p, t, dp, qv, lwp_c, ts = standard_column(lwp_cloud=0.2)
     sw_c = sw_simple(p, t, dp, qv, lwp_c, mu0, alb)
     assert float(sw_c["swdown"][0]) < 0.7 * float(sw_s["swdown"][0])
+
+
+class TestMcICA:
+    def test_mask_samples_cloud_fraction(self):
+        import jax.numpy as jnp
+        from wrfchem_arc_interactions_tpu.physics.radiation import mcica
+        cf = jnp.broadcast_to(jnp.asarray([0.0, 0.3, 0.7, 1.0])[:, None], (4, 8))
+        mask = mcica.mcica_mask(cf, 2000, seed=3)
+        freq = np.asarray(mask.mean(axis=0))
+        np.testing.assert_allclose(freq, np.asarray(cf), atol=0.04)
+
+    def test_max_random_overlap(self):
+        """Adjacent cloudy layers overlap maximally; layers separated by
+        clear air overlap randomly."""
+        import jax.numpy as jnp
+        from wrfchem_arc_interactions_tpu.physics.radiation import mcica
+        ngpt = 4000
+        # contiguous: both layers cf=0.5 -> total cover ~0.5
+        cf_adj = jnp.broadcast_to(jnp.asarray([0.5, 0.5])[:, None], (2, 4))
+        m = mcica.mcica_mask(cf_adj, ngpt, seed=1)
+        cover = np.asarray((m.max(axis=1)).mean(axis=0))
+        np.testing.assert_allclose(cover, 0.5, atol=0.04)
+        # separated by a clear layer -> random overlap: 1-(1-.5)^2 = 0.75
+        cf_sep = jnp.broadcast_to(jnp.asarray([0.5, 0.0, 0.5])[:, None], (3, 4))
+        m2 = mcica.mcica_mask(cf_sep, ngpt, seed=1)
+        cover2 = np.asarray((m2.max(axis=1)).mean(axis=0))
+        np.testing.assert_allclose(cover2, 0.75, atol=0.04)
+
+    def test_overcast_limit_matches_no_mcica(self):
+        """cldfra == 1 everywhere must reproduce the overcast (no-cldfra)
+        fluxes exactly -- the McICA path collapses to deterministic."""
+        import jax.numpy as jnp
+        from wrfchem_arc_interactions_tpu.physics.radiation.rrtmg_sw import sw_fluxes
+        from wrfchem_arc_interactions_tpu.physics.radiation.rrtmg_lw import lw_fluxes
+        nz, ncol = 12, 4
+        p = jnp.broadcast_to(jnp.linspace(95000.0, 20000.0, nz)[:, None], (nz, ncol))
+        t = jnp.broadcast_to(jnp.linspace(290.0, 220.0, nz)[:, None], (nz, ncol))
+        dp = jnp.full((nz, ncol), 75000.0 / nz)
+        qv = jnp.full((nz, ncol), 2e-3)
+        lwp = jnp.zeros((nz, ncol)).at[4:6].set(0.08)
+        mu0 = jnp.full((ncol,), 0.7)
+        alb = jnp.full((ncol,), 0.2)
+        tsfc = jnp.full((ncol,), 295.0)
+        cf1 = jnp.where(lwp > 0, 1.0, 0.0)
+        sw_a = sw_fluxes(p, t, dp, qv, lwp, mu0, alb)
+        sw_b = sw_fluxes(p, t, dp, qv, lwp, mu0, alb, cldfra=cf1, mcica_seed=9)
+        np.testing.assert_allclose(np.asarray(sw_a["swdown"]),
+                                   np.asarray(sw_b["swdown"]), rtol=1e-5)
+        lw_a = lw_fluxes(p, t, dp, qv, lwp, tsfc)
+        lw_b = lw_fluxes(p, t, dp, qv, lwp, tsfc, cldfra=cf1, mcica_seed=9)
+        np.testing.assert_allclose(np.asarray(lw_a["olr"]),
+                                   np.asarray(lw_b["olr"]), rtol=1e-5)
+
+    def test_partial_cloud_between_clear_and_overcast(self):
+        """cf=0.5 SW surface flux sits between the clear and overcast runs."""
+        import jax.numpy as jnp
+        from wrfchem_arc_interactions_tpu.physics.radiation.rrtmg_sw import sw_fluxes
+        nz, ncol = 12, 8
+        p = jnp.broadcast_to(jnp.linspace(95000.0, 20000.0, nz)[:, None], (nz, ncol))
+        t = jnp.broadcast_to(jnp.linspace(290.0, 220.0, nz)[:, None], (nz, ncol))
+        dp = jnp.full((nz, ncol), 75000.0 / nz)
+        qv = jnp.full((nz, ncol), 2e-3)
+        lwp_half = jnp.zeros((nz, ncol)).at[4:6].set(0.05)   # grid-mean LWP
+        mu0 = jnp.full((ncol,), 0.7)
+        alb = jnp.full((ncol,), 0.2)
+        clear = sw_fluxes(p, t, dp, qv, jnp.zeros_like(lwp_half), mu0, alb)
+        over = sw_fluxes(p, t, dp, qv, lwp_half * 2.0, mu0, alb)  # in-cloud lwp
+        cf = jnp.where(lwp_half > 0, 0.5, 0.0)
+        part = sw_fluxes(p, t, dp, qv, lwp_half, mu0, alb, cldfra=cf, mcica_seed=4)
+        sd_c = float(clear["swdown"][0]); sd_o = float(over["swdown"][0])
+        sd_p = float(part["swdown"].mean())
+        assert sd_o < sd_p < sd_c
+
+    def test_xu_randall(self):
+        import jax.numpy as jnp
+        from wrfchem_arc_interactions_tpu.physics.radiation import mcica
+        p = jnp.full((1, 3), 85000.0)
+        t = jnp.full((1, 3), 280.0)
+        qs = mcica._qsat(p, t)
+        qv = jnp.stack([0.3 * qs[0], 0.9 * qs[0], 1.0 * qs[0]], axis=1)
+        qc = jnp.asarray([[0.0, 2e-4, 1e-3]])
+        cf = np.asarray(mcica.xu_randall_cldfra(p, t, qv, qc))
+        assert cf[0, 0] == 0.0
+        assert 0.0 < cf[0, 1] < 1.0
+        assert cf[0, 2] == 1.0

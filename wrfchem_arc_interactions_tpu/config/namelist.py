@@ -68,6 +68,7 @@ class AdvOrder(int, enum.Enum):
     FOURTH = 4
     FIFTH = 5
     SIXTH = 6
+    WENO5 = 7                      # 5th-order WENO (advect_weno*; *_adv_opt=3)
 
 
 class AdvLimiter(str, enum.Enum):
@@ -134,6 +135,8 @@ class PhysicsConfig:
     ra_sw_physics: RAScheme = RAScheme.NONE
     ra_lw_physics: RAScheme = RAScheme.NONE
     radt_s: float = 600.0              # radiation call interval [s] (radt, in s not min)
+    icloud: int = 1                    # 0: overcast where lwp>0; 1: Xu-Randall
+                                       # cloud fraction + McICA subcolumn overlap
     bl_pbl_physics: PBLScheme = PBLScheme.NONE
     sf_sfclay_physics: SFScheme = SFScheme.NONE
     cu_physics: CUScheme = CUScheme.NONE

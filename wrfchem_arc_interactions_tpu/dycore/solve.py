@@ -58,6 +58,15 @@ def _rdn_w(grid: Grid):
     return jnp.concatenate([jnp.ones(1, grid.rdn.dtype), grid.rdn[1:], top]).reshape(-1, 1, 1)
 
 
+# w_damping=1 analog (canonical module_em.F rk_tendency 'w damping'): where
+# the vertical Courant number exceeds W_DAMP_BETA, damp w toward zero with a
+# rate proportional to the excess.  Applied IMPLICITLY through the acoustic
+# tridiagonal diagonal (more stable than the reference's explicit tendency
+# version, and branchless: a relu instead of an IF).
+W_DAMP_BETA = 0.9
+W_DAMP_ALPHA = 2.0
+
+
 def _w_damp_profile(grid: Grid, cfg: Config):
     """Implicit Rayleigh w-damping coefficient at w levels (damp_opt=3)."""
     dyn = cfg.dynamics
@@ -146,6 +155,15 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         rw_adv = adv.advect_w(gA["w"], ru_pad, rv_pad, ww, grid, h_m, v_m)
         buoy = bs.buoyancy_w(diag.p_pert, diag.eps_ratio, stage_state["mu"], grid)
         R["rw"] = (rw_adv + buoy).at[0].set(0.0)
+        if dyn.w_damping:
+            # runaway-updraft protection (w_damping=1; canonical module_em.F
+            # 'w-damping'): Rayleigh-damp the coupled W where the vertical
+            # Courant number of the stage omega exceeds W_DAMP_BETA; the rate
+            # is clamped so the explicit RK integration stays stable.
+            cflv = jnp.abs(ww) * dt * rdn_w / mu_full[None]
+            rate = jnp.minimum(
+                W_DAMP_ALPHA * jnp.maximum(cflv - W_DAMP_BETA, 0.0), 0.3)
+            R["rw"] = R["rw"] - (rate / dt) * (mu_full[None] * stage_state["w"])
         R["rth"] = (adv.advect_scalar(th_full_pad, ru_pad, rv_pad, ww, grid, h_s, v_s)
                     + mu_full[None] * pt.get("th", 0.0))
         # rphi takes the *coupled* W (= mu w) so its g W / mu term reduces to

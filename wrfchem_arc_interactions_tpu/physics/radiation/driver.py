@@ -85,14 +85,19 @@ def _columns(state: State, grid: Grid, cfg: Config):
     dp_lay = flat(diag.mu_full)[None] * (-grid.dnw.reshape(-1, 1)) * qtot_fac
     qv = flat(state["qv"]) if "qv" in state else jnp.zeros_like(p_lay)
     qc = flat(state.get("qc", jnp.zeros_like(diag.theta)))
-    lwp = qc * dp_lay / c.G
+    qcond = qc
+    if "qi" in state:
+        qcond = qcond + flat(state["qi"])
+    if "qs" in state:
+        qcond = qcond + 0.5 * flat(state["qs"])   # snow is partly radiatively active
+    lwp = qcond * dp_lay / c.G
     t_sfc = flat(state["tsk"].reshape(1, ny, nx))[0]
-    return p_lay, t_lay, dp_lay, qv, lwp, t_sfc, exner, (nz, ny, nx)
+    return p_lay, t_lay, dp_lay, qv, lwp, qcond, t_sfc, exner, (nz, ny, nx)
 
 
 def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
     phys = cfg.physics
-    p_lay, t_lay, dp_lay, qv, lwp, t_sfc, exner, (nz, ny, nx) = \
+    p_lay, t_lay, dp_lay, qv, lwp, qcond, t_sfc, exner, (nz, ny, nx) = \
         _columns(state, grid, cfg)
     ncol = ny * nx
     unflat = lambda a: a.reshape(a.shape[:-1] + (ny, nx))
@@ -104,7 +109,19 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
                   flatb(state["asy_aer_sw"]))
         aer_lw = flatb(state["tau_aer_lw"])
 
+    # partial cloudiness (icloud=1): Xu-Randall fraction + McICA sampling,
+    # seeded by the radiation-call time so subcolumn noise decorrelates
+    # between radt calls (the reference permutes its kissvec seed per call)
+    cf = None
+    seed = None
+    if phys.icloud == 1:
+        from wrfchem_arc_interactions_tpu.physics.radiation import mcica
+        cf = mcica.xu_randall_cldfra(p_lay, t_lay, qv, qcond)
+        seed = jnp.full((ncol,), jnp.asarray(time_s, jnp.float32).astype(jnp.uint32))
+
     out = dict(state)
+    if cf is not None and "cldfra" in state:
+        out["cldfra"] = unflat(cf)
     if phys.ra_lw_physics == RAScheme.SIMPLE:
         from wrfchem_arc_interactions_tpu.physics.radiation.simple import lw_simple
         lw = lw_simple(p_lay, t_lay, dp_lay, qv, lwp, t_sfc)
@@ -112,13 +129,22 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
         out["glw"] = unflat(lw["glw"])
         out["olr"] = unflat(lw["olr"])
     elif phys.ra_lw_physics != RAScheme.NONE:
-        if aer_lw is not None:
-            lw = _map_col_chunks(
-                lambda *a: lw_fluxes(*a[:-1], tau_aer_lw=a[-1]),
-                ncol, p_lay, t_lay, dp_lay, qv, lwp, t_sfc, aer_lw)
-        else:
-            lw = _map_col_chunks(lw_fluxes, ncol,
-                                 p_lay, t_lay, dp_lay, qv, lwp, t_sfc)
+        args = [p_lay, t_lay, dp_lay, qv, lwp, t_sfc]
+        has_aer, has_cf = aer_lw is not None, cf is not None
+        if has_aer:
+            args.append(aer_lw)
+        if has_cf:
+            args += [cf, seed]
+
+        def lw_fn(*a, _na=has_aer, _nc=has_cf):
+            kw, i = {}, 6
+            if _na:
+                kw["tau_aer_lw"] = a[i]; i += 1
+            if _nc:
+                kw["cldfra"] = a[i]; kw["mcica_seed"] = a[i + 1][0]
+            return lw_fluxes(*a[:6], **kw)
+
+        lw = _map_col_chunks(lw_fn, ncol, *args)
         out["rthraten_lw"] = unflat(lw["heating"] / exner)
         out["glw"] = unflat(lw["glw"])
         out["olr"] = unflat(lw["olr"])
@@ -133,15 +159,24 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
     elif phys.ra_sw_physics != RAScheme.NONE:
         mu0 = cos_zenith(time_s, grid.xlat, grid.xlong).reshape(ncol)
         albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
-        if aer_sw is not None:
-            sw = _map_col_chunks(
-                lambda *a: sw_fluxes(*a[:7], tau_aer_sw=a[7],
-                                     ssa_aer_sw=a[8], asy_aer_sw=a[9]),
-                ncol, p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
-                aer_sw[0], aer_sw[1], aer_sw[2])
-        else:
-            sw = _map_col_chunks(sw_fluxes, ncol,
-                                 p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo)
+        args = [p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo]
+        has_aer, has_cf = aer_sw is not None, cf is not None
+        if has_aer:
+            args += [aer_sw[0], aer_sw[1], aer_sw[2]]
+        if has_cf:
+            args += [cf, seed]
+
+        def sw_fn(*a, _na=has_aer, _nc=has_cf):
+            kw, i = {}, 7
+            if _na:
+                kw["tau_aer_sw"], kw["ssa_aer_sw"], kw["asy_aer_sw"] = \
+                    a[i], a[i + 1], a[i + 2]
+                i += 3
+            if _nc:
+                kw["cldfra"] = a[i]; kw["mcica_seed"] = a[i + 1][0]
+            return sw_fluxes(*a[:7], **kw)
+
+        sw = _map_col_chunks(sw_fn, ncol, *args)
         out["rthraten_sw"] = unflat(sw["heating"] / exner)
         out["swdown"] = unflat(sw["swdown"])
         out["swupt"] = unflat(sw["swup_toa"])

@@ -51,11 +51,15 @@ def band_planck_fractions(t: jax.Array) -> jax.Array:
 
 def lw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, t_sfc,
               tau_aer_lw: Optional[jax.Array] = None,
-              emissivity: float = 0.98) -> Dict[str, jax.Array]:
+              emissivity: float = 0.98,
+              cldfra: Optional[jax.Array] = None,
+              mcica_seed=0) -> Dict[str, jax.Array]:
     """All inputs (nz, ncol) except t_sfc (ncol,) and tau_aer_lw
     (nband, nz, ncol). Returns fluxes at faces (nz+1, ncol) and heating.
 
-    lwp: layer cloud liquid water path [kg/m2].
+    lwp: layer cloud liquid water path [kg/m2].  With `cldfra` (nz, ncol),
+    partial cloudiness is McICA-sampled per g-point (canonical
+    mcica_subcol_lw → rtrnmc), max-random overlap.
     """
     dtype = p_lay.dtype
     tabs = ktables.load_tables()
@@ -64,7 +68,14 @@ def lw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, t_sfc,
     pfrac_g = jnp.asarray(tabs.planck_frac_lw, dtype)          # (ngpt,)
 
     tau = gas_optics.gas_tau("lw", p_lay, t_lay, dp_lay, qv)    # (ngpt,nz,ncol)
-    tau = tau + (ABS_LIQ * lwp)[None]
+    if cldfra is not None:
+        from wrfchem_arc_interactions_tpu.physics.radiation import mcica
+        cf = jnp.clip(cldfra, 0.0, 1.0)
+        mask = mcica.mcica_mask(cf, ngpt, mcica_seed)
+        lwp_ic = lwp / jnp.maximum(cf, mcica.CF_MIN)
+        tau = tau + (ABS_LIQ * lwp_ic)[None] * mask
+    else:
+        tau = tau + (ABS_LIQ * lwp)[None]
     if tau_aer_lw is not None:
         tau = tau + tau_aer_lw[band_of_g]
 

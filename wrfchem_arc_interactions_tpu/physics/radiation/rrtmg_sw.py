@@ -104,10 +104,17 @@ def two_stream(tau, ssa, asy, mu0):
 def sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
               tau_aer_sw: Optional[jax.Array] = None,
               ssa_aer_sw: Optional[jax.Array] = None,
-              asy_aer_sw: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+              asy_aer_sw: Optional[jax.Array] = None,
+              cldfra: Optional[jax.Array] = None,
+              mcica_seed=0) -> Dict[str, jax.Array]:
     """SW flux profiles. Inputs (nz, ncol); mu0, albedo (ncol,); aerosol
     arrays (nband_sw, nz, ncol). Returns face fluxes (nz+1, ncol), heating
-    (nz, ncol), and surface/TOA diagnostics."""
+    (nz, ncol), and surface/TOA diagnostics.
+
+    With `cldfra` (nz, ncol), partial cloudiness is handled by McICA
+    (canonical mcica_subcol_sw → spcvmc_sw): each g-point samples a binary
+    max-random-overlap subcolumn and carries the in-cloud condensate
+    lwp/cldfra; without it, clouds are overcast wherever lwp > 0."""
     dtype = p_lay.dtype
     tabs = ktables.load_tables()
     band_of_g = jnp.asarray(bands.BAND_OF_GPT_SW)
@@ -115,7 +122,14 @@ def sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
 
     tau_gas = gas_optics.gas_tau("sw", p_lay, t_lay, dp_lay, qv)
     tau_ray = gas_optics.rayleigh_tau(dp_lay, dtype)
-    tau_cld = cloud_tau_sw(lwp)[None]
+    if cldfra is not None:
+        from wrfchem_arc_interactions_tpu.physics.radiation import mcica
+        cf = jnp.clip(cldfra, 0.0, 1.0)
+        mask = mcica.mcica_mask(cf, tau_gas.shape[0], mcica_seed)
+        lwp_ic = lwp / jnp.maximum(cf, mcica.CF_MIN)
+        tau_cld = cloud_tau_sw(lwp_ic)[None] * mask
+    else:
+        tau_cld = cloud_tau_sw(lwp)[None]
 
     tau_tot = tau_gas + tau_ray + tau_cld
     w_ray = tau_ray

@@ -188,6 +188,9 @@ def _phys_fields(cfg: Config) -> Tuple[FieldSpec, ...]:
                       "outgoing LW at TOA", restart=True, history=True),
             FieldSpec("swupt", DIMS_YX, STAG_NONE, "W m-2",
                       "upward SW at TOA", restart=True, history=True),
+            FieldSpec("cldfra", DIMS_ZYX, STAG_NONE, "1",
+                      "diagnosed cloud fraction (icloud option)",
+                      restart=True, history=True),
         ]
     if phys.bl_pbl_physics.value != "none" or phys.sf_sfclay_physics.value != "none":
         specs += [
