@@ -35,6 +35,7 @@ class MPScheme(str, enum.Enum):
 
     NONE = "none"
     KESSLER = "kessler"            # warm rain (mp_physics=1)
+    WSM6 = "wsm6"                  # single-moment 6-class (mp_physics=6)
     MORRISON2 = "morrison2"        # 2-moment, prognostic Nc for ARC (mp_physics=10)
 
 
@@ -53,6 +54,7 @@ class PBLScheme(str, enum.Enum):
 
 class CUScheme(str, enum.Enum):
     NONE = "none"                  # convection-permitting (cu_physics=0)
+    BMJ = "bmj"                    # Betts-Miller-Janjic adjustment (cu_physics=2)
 
 
 class SFScheme(str, enum.Enum):
@@ -231,6 +233,8 @@ class Config:
             return ("qv",)
         if mp == MPScheme.KESSLER:
             return ("qv", "qc", "qr")
+        if mp == MPScheme.WSM6:
+            return ("qv", "qc", "qr", "qi", "qs", "qg")
         if mp == MPScheme.MORRISON2:
             # mass: vapor, cloud, rain, ice, snow, graupel; number: cloud (if
             # progn), rain, ice, snow, graupel — Morrison 2-moment set.

@@ -67,6 +67,14 @@ def acoustic_loop(pp: Dict[str, jax.Array],
     beta = dyn.epssm
     bp, bm = 0.5 * (1.0 + beta), 0.5 * (1.0 - beta)
     smdiv = dyn.smdiv
+    # External-mode filter (canonical: the emdiv `mudf` term of
+    # module_small_step_em.F advance_uv/advance_mu_t): the previous
+    # substep's column-mass tendency dmu_ac is the barotropic (external)
+    # divergence signal; adding -nu * grad(dmu_ac) to the momentum forcing
+    # (nu = emdiv dx^2; dmu_ac ~ -div so div_t picks up -nu k^2 div) damps
+    # the external gravity/Lamb mode that the divergence damper (which acts
+    # on p'') leaves untouched.
+    emdiv = dyn.emdiv
 
     dnw = grid.dnw.reshape(-1, 1, 1)
     rdnw = grid.rdnw.reshape(-1, 1, 1)
@@ -88,6 +96,7 @@ def acoustic_loop(pp: Dict[str, jax.Array],
     ru_avg = jnp.zeros_like(u)
     rv_avg = jnp.zeros_like(v)
     ww_avg = jnp.zeros_like(w)
+    mudf = jnp.zeros_like(mu)          # lagged external-mode signal
 
     for _ in range(ns):
         p_now = p_of2(th, ph)
@@ -103,9 +112,14 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         dphdx = 0.5 * (dphdx_w[:-1] + dphdx_w[1:])
         du = R["ru"] - ac["c_ux"] * dppdx - ac["c_ux2"] * dphdx
         # mu'' cross term: -mu''_u * (eps*alpha)_u * d(p'_ref)/dx
-        mu_pad = hx.pad(mu, 1)
+        g3 = hx.pad_many({"mu": mu, "mudf": mudf}, 1)
+        mu_pad, mudf_pad = g3["mu"], g3["mudf"]
         mu_u = 0.5 * (win(mu_pad, 0, -1, pad=1) + win(mu_pad, 0, 0, pad=1))
         du = du - mu_u[None] * ac["c_ux3"]
+        if emdiv > 0.0:
+            dxs = 1.0 / grid.rdx
+            du = du - (emdiv * dxs) * (win(mudf_pad, 0, 0, pad=1)
+                                       - win(mudf_pad, 0, -1, pad=1))[None]
         u = u + dtau * du
 
         dppdy = (win(p_pad, 0, 0, pad=1) - win(p_pad, -1, 0, pad=1)) * grid.rdy
@@ -113,12 +127,17 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         dphdy = 0.5 * (dphdy_w[:-1] + dphdy_w[1:])
         mu_v = 0.5 * (win(mu_pad, -1, 0, pad=1) + win(mu_pad, 0, 0, pad=1))
         dv = R["rv"] - ac["c_vy"] * dppdy - ac["c_vy2"] * dphdy - mu_v[None] * ac["c_vy3"]
+        if emdiv > 0.0:
+            dys = 1.0 / grid.rdy
+            dv = dv - (emdiv * dys) * (win(mudf_pad, 0, 0, pad=1)
+                                       - win(mudf_pad, -1, 0, pad=1))[None]
         v = v + dtau * dv
 
         # --- column mass and omega'' ----------------------------------
         g2 = hx.pad_many({"u": u, "v": v}, 1)
         div = _div(g2["u"], g2["v"], grid)
         dmu_ac = jnp.sum(dnw * div, axis=0)              # (ny,nx)
+        mudf = dmu_ac                                    # used next substep
         mu = mu + dtau * (R["rmu"] + dmu_ac)
         incr = dnw * (-dmu_ac[None] - div)
         om = jnp.concatenate([jnp.zeros_like(div[:1]), jnp.cumsum(incr, axis=0)], axis=0)

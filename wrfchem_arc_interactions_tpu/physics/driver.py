@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from wrfchem_arc_interactions_tpu.config import Config
 from wrfchem_arc_interactions_tpu.config.namelist import (
-    MPScheme, PBLScheme, RAScheme, SFScheme,
+    CUScheme, MPScheme, PBLScheme, RAScheme, SFScheme,
 )
 from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
 from wrfchem_arc_interactions_tpu.dycore.diffusion import diffusion_tendencies
@@ -53,6 +53,22 @@ def pre_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         for k, v in pbl_tend.items():
             tend[k] = tend.get(k, 0.0) + v
 
+    if phys.cu_physics == CUScheme.BMJ:
+        # cumulus_driver slot of first_rk_step_part1 (SURVEY.md §3.2):
+        # tendencies held through the RK stages like the other physics.
+        from wrfchem_arc_interactions_tpu.physics.cumulus import bmj_adjust
+        from wrfchem_arc_interactions_tpu.utils import constants as cc
+        diag = diagnose(state, grid, moist)
+        pii = (diag.p_full / cc.P0) ** cc.RCP
+        rho = 1.0 / (diag.alpha_d * diag.eps_ratio)
+        ph_full = grid.phb + state["ph"]
+        dz = (ph_full[1:] - ph_full[:-1]) / cc.G
+        cu_tend, precip = bmj_adjust(diag.theta, state["qv"], diag.p_full,
+                                     rho, dz, dt)
+        for k, v in cu_tend.items():
+            tend[k] = tend.get(k, 0.0) + v
+        state["rainc"] = state["rainc"] + precip * dt
+
     if cfg.dynamics.diff_opt.value != "none":
         scalars = advected_names(cfg)
         d = diffusion_tendencies(state, grid, cfg, hx, dt, scalars)
@@ -71,6 +87,10 @@ def post_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         from wrfchem_arc_interactions_tpu.physics.microphysics.kessler import kessler
         diag = diagnose(state, grid, moist)
         state = kessler(state, diag, grid, dt)
+    elif phys.mp_physics == MPScheme.WSM6:
+        from wrfchem_arc_interactions_tpu.physics.microphysics.wsm6 import wsm6
+        diag = diagnose(state, grid, moist)
+        state = wsm6(state, diag, grid, cfg, dt)
     elif phys.mp_physics == MPScheme.MORRISON2:
         from wrfchem_arc_interactions_tpu.physics.microphysics.morrison import morrison
         diag = diagnose(state, grid, moist)

@@ -172,6 +172,11 @@ def _phys_fields(cfg: Config) -> Tuple[FieldSpec, ...]:
         FieldSpec("rainnc", DIMS_YX, STAG_NONE, "mm",
                   "accumulated grid-scale precipitation", restart=True, history=True),
     ]
+    if phys.cu_physics.value != "none":
+        specs.append(
+            FieldSpec("rainc", DIMS_YX, STAG_NONE, "mm",
+                      "accumulated convective precipitation",
+                      restart=True, history=True))
     if phys.ra_sw_physics != RAScheme.NONE or phys.ra_lw_physics != RAScheme.NONE:
         # Radiative theta-tendencies are held fixed between radiation calls
         # (radt cadence) exactly like grid%rthraten in the reference.
