@@ -75,11 +75,14 @@ def _wsm6_case():
 def test_wsm6_cold_and_warm_processes():
     cfg, grid, state = _wsm6_case()
     moist = cfg.moist_species()
-    # supersaturate the whole column: warm rain below, ice/snow aloft
-    diag = diagnose(state, grid, moist)
-    pii = (diag.p_full / c.P0) ** c.RCP
-    t_air = diag.theta * pii
-    state["qv"] = 1.15 * _qvs(diag.p_full, t_air)
+    # supersaturate the whole column: warm rain below, ice/snow aloft.
+    # Moistening feeds back on the diagnosed pressure/temperature, so
+    # fixed-point the target supersaturation against re-diagnosis.
+    for _ in range(4):
+        diag = diagnose(state, grid, moist)
+        pii = (diag.p_full / c.P0) ** c.RCP
+        t_air = diag.theta * pii
+        state["qv"] = 1.15 * _qvs(diag.p_full, t_air)
     for _ in range(8):
         diag = diagnose(state, grid, moist)
         state = wsm6(state, diag, grid, cfg, 30.0)

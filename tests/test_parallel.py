@@ -7,13 +7,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.sharding import PartitionSpec as P
 
-from wrfchem_arc_interactions_tpu.config import Config, DomainConfig, TimeControl
+from wrfchem_arc_interactions_tpu.config import (
+    ChemConfig, Config, DomainConfig, DynamicsConfig, PhysicsConfig,
+    TimeControl,
+)
+from wrfchem_arc_interactions_tpu.config.namelist import (
+    ChemOpt, MPScheme, RAScheme,
+)
 from wrfchem_arc_interactions_tpu.dycore.solve import step
 from wrfchem_arc_interactions_tpu.models import ideal
+from wrfchem_arc_interactions_tpu.models.driver import full_step
 from wrfchem_arc_interactions_tpu.parallel.halo import HaloOps
 from wrfchem_arc_interactions_tpu.parallel.mesh import make_mesh
-from wrfchem_arc_interactions_tpu.parallel.sharded import make_sharded_step
+from wrfchem_arc_interactions_tpu.parallel.sharded import (
+    grid_partition_specs, halo_ops_for, make_sharded_step,
+)
+from wrfchem_arc_interactions_tpu.registry.state import state_partition_specs
 
 
 def _case():
@@ -85,3 +96,91 @@ def test_open_bc_pad():
     # edge replication
     assert (p[0, :, 0] == p[0, :, 2]).all()
     assert (p[0, 0, :] == p[0, 2, :]).all()
+
+
+# ---------------------------------------------------------------------------
+# FULL-step (radiation + chemistry + microphysics/activation) decomposition
+# invariance — SURVEY.md §4.2-3 applied to the whole ARC-coupled step, not
+# just the dycore: covers radiation column flattening + chunked maps, McICA
+# subcolumn generation, Mie optics, and the chem operator chain under
+# shard_map.
+# ---------------------------------------------------------------------------
+
+def _arc_case(nx=16, ny=8, nz=10, dtype=jnp.float32):
+    cfg = Config(
+        domain=DomainConfig(nx=nx, ny=ny, nz=nz, dx=1000.0, dy=1000.0,
+                            ztop=12000.0, p_top=20000.0),
+        time_control=TimeControl(dt=4.0),
+        dynamics=DynamicsConfig(kvdif=20.0),
+        physics=PhysicsConfig(mp_physics=MPScheme.MORRISON2, progn=True,
+                              ra_sw_physics=RAScheme.RRTMG,
+                              ra_lw_physics=RAScheme.RRTMG),
+        chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN, chemdt_s=8.0,
+                        aer_ra_feedback=True),
+    )
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0,
+                                  zc=1500.0, xr=2500.0, zr=1200.0,
+                                  three_d=True)
+    for b in (1, 2):
+        state[f"chem_so4_a{b:02d}"] = jnp.full_like(state["t"], 3.0)
+        state[f"chem_num_a{b:02d}"] = jnp.full_like(state["t"], 5e9)
+    if dtype != jnp.float32:
+        state = {k: v.astype(dtype) for k, v in state.items()}
+        grid = jax.tree.map(
+            lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            grid)
+    return cfg, grid, state
+
+
+def _run_full(cfg, grid, state, mesh, n_steps, dtype=jnp.float32):
+    hx = halo_ops_for(cfg, mesh)
+    dt = cfg.time_control.dt
+
+    def fn(s, g, t_s):
+        return full_step(s, g, cfg, hx, dt, True, True, t_s)
+
+    if mesh is not None:
+        s_specs = state_partition_specs(cfg)
+        g_specs = grid_partition_specs(grid)
+        fn = jax.shard_map(fn, mesh=mesh, in_specs=(s_specs, g_specs, P()),
+                           out_specs=s_specs)
+    stepf = jax.jit(fn)
+    s = state
+    for i in range(n_steps):
+        s = stepf(s, grid, jnp.zeros((), dtype) + i * dt)
+    return s
+
+
+@pytest.mark.slow
+def test_full_step_decomposition_invariance():
+    """1 device vs 2x2 mesh over the FULL ARC step (f32)."""
+    cfg, grid, state = _arc_case()
+    s1 = _run_full(cfg, grid, state, None, 2)
+    s4 = _run_full(cfg, grid, state, make_mesh(2, 2), 2)
+    tol = {"u": 5e-3, "v": 5e-3, "w": 5e-3, "t": 5e-3, "mu": 0.1, "ph": 0.2,
+           "qv": 1e-7, "qc": 1e-7, "nc": 5e2,
+           "rthraten_sw": 1e-9, "rthraten_lw": 1e-9,
+           "chem_so4_a01": 1e-4, "chem_num_a01": 5e3}
+    for name, tl in tol.items():
+        d = float(jnp.max(jnp.abs(s1[name] - s4[name])))
+        assert d < tl, f"{name}: 1-dev vs (2,2) diff {d}"
+
+
+@pytest.mark.slow
+def test_full_step_decomposition_invariance_f64():
+    """f64 tight-tolerance variant: the decomposition changes only the
+    reduction/exchange order, so double precision must agree to ~1e-10
+    relative (substantiates the PARITY claim)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg, grid, state = _arc_case(nx=8, ny=8, nz=8, dtype=jnp.float64)
+        s1 = _run_full(cfg, grid, state, None, 1, dtype=jnp.float64)
+        s4 = _run_full(cfg, grid, state, make_mesh(2, 2), 1, dtype=jnp.float64)
+        for name in ("u", "v", "w", "t", "mu", "ph", "qv", "qc",
+                     "rthraten_sw", "rthraten_lw", "chem_so4_a01"):
+            a, b = np.asarray(s1[name]), np.asarray(s4[name])
+            scale = np.abs(a).max() + 1e-30
+            d = np.abs(a - b).max() / scale
+            assert d < 1e-10, f"{name}: f64 relative diff {d}"
+    finally:
+        jax.config.update("jax_enable_x64", False)

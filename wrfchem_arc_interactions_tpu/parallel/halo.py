@@ -143,3 +143,139 @@ class HaloOps:
             if self.mesh_y > 1:
                 x = lax.pmax(x, AXIS_Y)
         return x
+
+    # -- overlapped halo exchange (comm/compute overlap; SURVEY.md §7.3-2) --
+    #
+    # The classic split-stencil schedule: issue BOTH axis exchanges up
+    # front from the *unpadded* array (concurrent, unlike pad()'s X-then-Y
+    # phases), compute the stencil over the whole block with a locally
+    # edge-replicated pad (garbage near block edges, but independent of the
+    # collectives so XLA's latency-hiding scheduler runs it while the
+    # ppermutes are in flight), then recompute the thin edge bands from the
+    # true halos and patch them in.  Because the two exchanges never see
+    # each other, the padded array's CORNER cells are garbage — callers must
+    # be plus-shaped stencils (every FV flux/divergence/gradient here is:
+    # x-terms use x-offsets only, y-terms y-offsets only).  Stencils with
+    # diagonal dependence (e.g. deformation cross-derivatives) must keep
+    # using pad()/pad_many().
+
+    def exchange_start(self, a: jax.Array, width: int):
+        """Kick off concurrent lo/hi strip exchanges on both axes.
+
+        Returns ((from_lo_y, from_hi_y), (from_lo_x, from_hi_x)) where
+        entries are None for non-decomposed axes (handled locally at
+        finish time)."""
+        out = []
+        for axis, bc, axis_name, nmesh in (
+                (a.ndim - 2, self.bc_y, AXIS_Y, self.mesh_y),
+                (a.ndim - 1, self.bc_x, AXIS_X, self.mesh_x)):
+            if not (self.sharded and nmesh > 1):
+                out.append(None)
+                continue
+            idx_lo = [slice(None)] * a.ndim
+            idx_hi = [slice(None)] * a.ndim
+            idx_lo[axis] = slice(0, width)
+            idx_hi[axis] = slice(a.shape[axis] - width, a.shape[axis])
+            fwd = [(i, (i + 1) % nmesh) for i in range(nmesh)]
+            bwd = [(i, (i - 1) % nmesh) for i in range(nmesh)]
+            from_lo = lax.ppermute(a[tuple(idx_hi)], axis_name, fwd)
+            from_hi = lax.ppermute(a[tuple(idx_lo)], axis_name, bwd)
+            if bc != BCKind.PERIODIC:
+                i_mesh = lax.axis_index(axis_name)
+                from_lo = jnp.where(i_mesh == 0,
+                                    _bc_strip(a, axis, width, bc, "lo"), from_lo)
+                from_hi = jnp.where(i_mesh == nmesh - 1,
+                                    _bc_strip(a, axis, width, bc, "hi"), from_hi)
+            out.append((from_lo, from_hi))
+        return tuple(out)
+
+    def exchange_finish(self, a: jax.Array, strips, width: int) -> jax.Array:
+        """Assemble the padded array from in-flight strips.  Corner halo
+        cells are edge-replicated GARBAGE (see class comment): only valid
+        for plus-shaped stencils."""
+        strips_y, strips_x = strips
+        # X axis first (strips span the unpadded y range)
+        axis = a.ndim - 1
+        if strips_x is None:
+            a = self._pad_axis_local(a, axis, width, self.bc_x)
+        else:
+            a = jnp.concatenate([strips_x[0], a, strips_x[1]], axis=axis)
+        # Y axis: true strips cover the unpadded x range; extend over the new
+        # x halos with edge replication (the garbage corners)
+        axis = a.ndim - 2
+        if strips_y is None:
+            return self._pad_axis_local(a, axis, width, self.bc_y)
+        pw = [(0, 0)] * a.ndim
+        pw[a.ndim - 1] = (width, width)
+        lo = jnp.pad(strips_y[0], pw, mode="edge")
+        hi = jnp.pad(strips_y[1], pw, mode="edge")
+        return jnp.concatenate([lo, a, hi], axis=axis)
+
+    def local_pad(self, a: jax.Array, width: int) -> jax.Array:
+        """Edge-replicated local pad: correct in the block interior, garbage
+        within `width` of block edges; used for the bulk pass of
+        overlap_stencil (independent of any collective)."""
+        pw = [(0, 0)] * a.ndim
+        pw[a.ndim - 1] = (width, width)
+        pw[a.ndim - 2] = (width, width)
+        return jnp.pad(a, pw, mode="edge")
+
+
+def overlap_stencil(hx: HaloOps, fields: Dict[str, jax.Array], width: int,
+                    fn, consts: Optional[Dict[str, jax.Array]] = None):
+    """Evaluate a plus-shaped stencil with halo comm overlapped by compute.
+
+    ``fn(padded_fields, consts) -> pytree`` must be shape-polymorphic in the
+    trailing (y, x) axes: given fields padded by `width` and interior-sized
+    consts, it returns interior-sized outputs.  Schedule:
+
+      1. start concurrent X/Y strip ppermutes for every field,
+      2. run ``fn`` over the whole block with local (garbage-edge) pads —
+         XLA overlaps this bulk work with the in-flight collectives,
+      3. re-run ``fn`` on four thin slabs built from the true halos and
+         patch the `width`-wide output bands.
+
+    On a single device (or unsharded axis pair) it degenerates to one padded
+    ``fn`` call.  CORNERS of the padded arrays are garbage — ``fn`` must be
+    a plus-shaped stencil (x-terms use x-offsets only, y-terms y-offsets
+    only), the shape of every FV flux/gradient/divergence operator here.
+    """
+    consts = consts or {}
+    decomposed = hx.sharded and (hx.mesh_x > 1 or hx.mesh_y > 1)
+    if not decomposed:
+        padded = {k: hx.pad(v, width) for k, v in fields.items()}
+        return fn(padded, consts)
+
+    strips = {k: hx.exchange_start(v, width) for k, v in fields.items()}
+    bulk = fn({k: hx.local_pad(v, width) for k, v in fields.items()}, consts)
+    padded = {k: hx.exchange_finish(v, strips[k], width)
+              for k, v in fields.items()}
+
+    ny = next(iter(fields.values())).shape[-2]
+    nx = next(iter(fields.values())).shape[-1]
+    w = width
+
+    def band(out, sel_pad, sel_out):
+        """Recompute one edge band from true halos and patch it in."""
+        slab_fields = {k: v[sel_pad(v.ndim)] for k, v in padded.items()}
+        slab_consts = {k: v[sel_out(v.ndim)] for k, v in consts.items()}
+        slab_out = fn(slab_fields, slab_consts)
+        return jax.tree.map(
+            lambda o, s: o.at[sel_out(o.ndim)].set(s), out, slab_out)
+
+    def sel(axis_off, sl):
+        """Slice `sl` on the y (axis_off=2) or x (axis_off=1) trailing axis,
+        full range elsewhere."""
+        def f(ndim):
+            idx = [slice(None)] * ndim
+            idx[ndim - axis_off] = sl
+            return tuple(idx)
+        return f
+
+    out = bulk
+    # y-lo band: padded rows [0, 3w) -> output rows [0, w); likewise y-hi/x
+    out = band(out, sel(2, slice(0, 3 * w)), sel(2, slice(0, w)))
+    out = band(out, sel(2, slice(ny - w, ny + 2 * w)), sel(2, slice(ny - w, ny)))
+    out = band(out, sel(1, slice(0, 3 * w)), sel(1, slice(0, w)))
+    out = band(out, sel(1, slice(nx - w, nx + 2 * w)), sel(1, slice(nx - w, nx)))
+    return out

@@ -10,13 +10,17 @@ elementwise + cumulative ops along z, no data-dependent iteration):
 2. Moist-adiabat reference temperature above the LCL by conservation of
    equivalent potential temperature (fixed-count Newton solve of
    theta_e(T_ref, p) = theta_e_parcel — branchless, 5 iterations).
-3. Cloud layer = contiguous buoyant levels above the LCL (cumulative-mask
-   form of the reference's DO-loop search); deep trigger: depth > 2 km.
+3. Cloud layer = contiguous buoyant levels from the LFC up (a CIN layer
+   between LCL and LFC is skipped, as in the reference's upward search);
+   deep trigger: depth > 2 km.
 4. Reference humidity profile = sub-saturated moist adiabat (RH ramping
-   0.95 -> 0.75 cloud base -> top, the BMJ shape).
+   0.95 -> 0.75 cloud base -> top, the BMJ shape), then swept toward
+   drier profiles in fixed-count branchless form until the column dries
+   — the analog of the reference's DSP/entropy-sweep loop that enforces
+   positive precipitation before accepting deep convection.
 5. Enthalpy-conserving shift of T_ref (the BMJ "first guess correction"),
    then relax T, qv toward the reference over tau = 2400 s.  Columns whose
-   adjustment would moisten (negative precipitation) are deactivated, as
+   adjustment would still moisten after the sweep are deactivated, as
    in the reference's swap/deactivation logic.
 
 The mass-flux schemes (KF, Grell-3) remain on the roadmap (PARITY.md).
@@ -88,13 +92,18 @@ def bmj_adjust(theta: jax.Array, qv: jax.Array, p: jax.Array,
     theta_e_p = _theta_e(t_lcl, p_lcl, _qvs(p_lcl, t_lcl))
     t_ref = _moist_adiabat_t(theta_e_p[None], p, t_air)
 
-    # ---- 3. cloud layer (contiguous buoyant levels above base) --------
+    # ---- 3. cloud layer (contiguous buoyant levels above the LFC) ------
     above_base = p <= p_lcl[None]
     buoyant = t_ref >= t_air - DT_BUOY
-    # first non-buoyant level above base terminates the cloud
-    stop = above_base & (~buoyant)
+    # the LFC is the first buoyant level above the LCL: a CIN layer below
+    # it must not terminate the search (the reference walks upward past
+    # non-buoyant levels until the parcel becomes buoyant)
+    above_lfc = jnp.cumsum(jnp.where(above_base & buoyant, 1.0, 0.0),
+                           axis=0) > 0.0
+    # first non-buoyant level above the LFC terminates the cloud
+    stop = above_lfc & (~buoyant)
     blocked = jnp.cumsum(jnp.where(stop, 1.0, 0.0), axis=0) > 0.0
-    in_cloud = above_base & buoyant & (~blocked)
+    in_cloud = above_lfc & buoyant & (~blocked)
     depth = jnp.sum(jnp.where(in_cloud, dz, 0.0), axis=0)
     active = depth > DEPTH_MIN                       # (ny, nx)
 
@@ -105,9 +114,22 @@ def bmj_adjust(theta: jax.Array, qv: jax.Array, p: jax.Array,
     rh_ref = 0.95 - 0.20 * jnp.clip(frac, 0.0, 1.0)
     q_ref = rh_ref * _qvs(p, t_ref)
 
-    # ---- 5. enthalpy-conserving shift + relaxation ---------------------
     dm = rho * dz                                    # layer mass [kg/m2]
     mask = jnp.where(in_cloud, 1.0, 0.0)
+
+    # ---- 4b. humidity sweep toward drier profiles -----------------------
+    # The reference iterates the deficit-saturation-pressure profile drier
+    # until the column adjustment produces net drying (positive DENTPY /
+    # precipitation), only then accepting deep convection.  Branchless
+    # fixed-count equivalent: scale the reference RH down by 0.75 per
+    # sweep while the column would still moisten.
+    scale = jnp.ones_like(depth)
+    for _ in range(8):
+        dq_try = jnp.sum(mask * dm * (qv - scale[None] * q_ref), axis=0)
+        scale = jnp.where(dq_try <= 0.0, scale * 0.75, scale)
+    q_ref = scale[None] * q_ref
+
+    # ---- 5. enthalpy-conserving shift + relaxation ---------------------
     num = jnp.sum(mask * dm * (c.CP * (t_ref - t_air)
                                + c.XLV * (q_ref - qv)), axis=0)
     den = jnp.maximum(jnp.sum(mask * dm * c.CP, axis=0), 1.0)

@@ -8,8 +8,8 @@ temperature-dependent per Houze et al., N0g fixed), so every process rate
 closes in the slope parameter lambda = (pi rho_x N0 / (rho q))^(1/4).
 
 Process set, in the reference's operator order: ice nucleation (Fletcher)
-with vapor deposition, warm-rain autoconversion (Kessler-in-WSM6 form) +
-accretion, snow/graupel riming of cloud water, ice->snow autoconversion,
+with vapor deposition, warm-rain autoconversion (Tripoli & Cotton 1980,
+the WSM6 form) + accretion, snow/graupel riming of cloud water, ice->snow autoconversion,
 melting above 0C, rain evaporation, saturation adjustment, and
 CFL-substepped upwind sedimentation per precipitating class.  Relative to
 the reference this round omits: graupel wet growth/shedding, rain freezing
@@ -43,8 +43,12 @@ RHO_R, RHO_S, RHO_G, RHO_I = 1000.0, 100.0, 500.0, 500.0
 AV_R, BV_R = 841.99667, 0.8
 AV_S, BV_S = 11.72, 0.41
 AV_G, BV_G = 330.0, 0.8
-# autoconversion
-QC0 = 1.0e-3                # cloud->rain threshold [kg/kg] (ideal land value)
+# autoconversion (Tripoli & Cotton 1980, the WSM6 warm-rain form):
+# praut = qck1 * qc^(7/3) above qc0, with qc0 = 4/3 pi rho_w r0^3 Ncr / rho
+XNCR = 3.0e8                # cloud droplet number [m-3]
+R0_AUTO = 8.0e-6            # critical mean droplet radius [m]
+PEAUT = 0.55                # collection efficiency
+XMYU = 1.718e-5             # dynamic viscosity [kg m-1 s-1]
 QI0 = 8.0e-5                # ice->snow threshold
 
 
@@ -114,7 +118,11 @@ def wsm6(state: State, diag: Diag, grid: Grid, cfg, dt: float) -> State:
     t_air = theta * pii
 
     # --- 2. warm rain: autoconversion + accretion ------------------------
-    auto = 1.0e-3 * jnp.maximum(qc - QC0, 0.0)                       # [kg/kg/s]
+    # Tripoli-Cotton: rate ~ qc^(7/3) once the mean droplet exceeds r0
+    qc0 = (4.0 / 3.0) * np.pi * RHO_R * R0_AUTO ** 3 * XNCR / rho
+    qck1 = (0.104 * c.G * PEAUT / (XNCR * RHO_R) ** (1.0 / 3.0) / XMYU
+            * rho ** (4.0 / 3.0))
+    auto = jnp.where(qc > qc0, qck1 * jnp.maximum(qc, 0.0) ** (7.0 / 3.0), 0.0)
     lam_r = _lam(qr, rho, RHO_R, N0R)
     # rain sweeps cloud: Pracw = pi/4 a_r N0r Gamma(3+b) qc / lam^(3+b)
     pracw = (np.pi / 4.0) * AV_R * N0R * _g(3.0 + BV_R) * qc / lam_r ** (3.0 + BV_R)
