@@ -163,7 +163,9 @@ def aerosol_optics(chem_fields: Dict[str, jax.Array], rho_air, dz,
         return (ext_a + ext * dz[None], sca_a + sca * dz[None],
                 gsca_a + gg * sca * dz[None]), None
 
-    zero = jnp.zeros((nb_all,) + shp, dtype)
+    from wrfchem_arc_interactions_tpu.utils.vma import tie_vma
+    # carry must be mesh-varying like the body output under shard_map
+    zero = tie_vma(jnp.zeros((nb_all,) + shp, dtype), vols)
     (ext_t, sca_t, gsca_t), _ = lax.scan(one_bin, (zero, zero, zero),
                                          (vols, nums))
 

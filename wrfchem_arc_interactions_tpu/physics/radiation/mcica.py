@@ -81,7 +81,10 @@ def mcica_mask(cldfra: jax.Array, ngpt: int, seed=0) -> jax.Array:
         cloudy = (x > (1.0 - cf_k)[None, :]).astype(cldfra.dtype)
         return (x, cf_k), cloudy
 
-    init = (jnp.zeros((ngpt, ncol), cldfra.dtype), jnp.zeros((ncol,), cldfra.dtype))
+    # derive the init carry from cldfra so its varying-manual-axes type under
+    # shard_map matches the (mesh-varying) carry the body produces
+    zcol = jnp.zeros_like(cldfra[0])                    # (ncol,)
+    init = (jnp.zeros((ngpt, 1), cldfra.dtype) + zcol[None, :], zcol)
     _, mask_td = jax.lax.scan(step, init, (r_top_down, cf_top_down))
     return jnp.moveaxis(mask_td[::-1], 0, 1)            # (ngpt, nz, ncol)
 

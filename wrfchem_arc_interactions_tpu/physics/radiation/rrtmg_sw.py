@@ -154,7 +154,8 @@ def sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
     zmove = lambda a: jnp.moveaxis(a, 1, 0)
     r_dif, t_dif, r_dir, t_dir, t0 = map(zmove, (r_dif, t_dif, r_dir, t_dir, t0))
 
-    alb = jnp.broadcast_to(albedo[None], r_dif.shape[1:])
+    from wrfchem_arc_interactions_tpu.utils.vma import tie_vma
+    alb = tie_vma(jnp.broadcast_to(albedo[None], r_dif.shape[1:]), p_lay)
 
     # upward pass: stack-below reflectances at each face (faces 0..nz)
     def up(carry, x):
@@ -185,6 +186,7 @@ def sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
                         + s_above * (tdr + tt0 * rb_dir_below * rd))
         return (s_below, fd_below), (s_below, fd_below)
 
+    s_toa = tie_vma(s_toa, p_lay)     # carry must be mesh-varying like the body
     zeros = jnp.zeros_like(s_toa)
     xs = (r_dif[::-1], t_dif[::-1], r_dir[::-1], t_dir[::-1], t0[::-1],
           rb_dif_faces[:-1][::-1], rb_dir_faces[:-1][::-1])
