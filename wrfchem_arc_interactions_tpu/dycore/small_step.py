@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from wrfchem_arc_interactions_tpu.dycore.tridiag import thomas
 from wrfchem_arc_interactions_tpu.grid import Grid
 from wrfchem_arc_interactions_tpu.ops.stencil import win
+from wrfchem_arc_interactions_tpu.parallel.halo import overlap_stencil
 from wrfchem_arc_interactions_tpu.utils.constants import G
 
 
@@ -98,44 +99,78 @@ def acoustic_loop(pp: Dict[str, jax.Array],
     ww_avg = jnp.zeros_like(w)
     mudf = jnp.zeros_like(mu)          # lagged external-mode signal
 
+    # Overlapped-exchange substep kernels (SURVEY.md §7.3-2: halos inside the
+    # innermost loop are THE scaling-efficiency risk).  Each substep does two
+    # exchanges; both go through `overlap_stencil`, which issues the X and Y
+    # strip ppermutes concurrently up front and computes the block-interior
+    # stencil while they are in flight (every stencil below is plus-shaped,
+    # so the garbage corners of the overlapped pad are never read).
+
+    # split theta face coefficients into west/east, south/north pairs so all
+    # stencil outputs are interior-sized (overlap_stencil's band patching
+    # requires it)
+    th_x_w, th_x_e = ac["th_x"][:, :, :-1], ac["th_x"][:, :, 1:]
+    th_y_s, th_y_n = ac["th_y"][:, :-1, :], ac["th_y"][:, 1:, :]
+
+    def mom_fn(padded, cs):
+        """Forward U'', V'' update from padded p_d/ph/mu/mudf."""
+        p_pad, ph_pad = padded["p"], padded["ph"]
+        mu_pad, mudf_pad = padded["mu"], padded["mudf"]
+        dppdx = (win(p_pad, 0, 0, pad=1) - win(p_pad, 0, -1, pad=1)) * grid.rdx
+        dphdx_w = (win(ph_pad, 0, 0, pad=1) - win(ph_pad, 0, -1, pad=1)) * grid.rdx
+        dphdx = 0.5 * (dphdx_w[:-1] + dphdx_w[1:])
+        mu_u = 0.5 * (win(mu_pad, 0, -1, pad=1) + win(mu_pad, 0, 0, pad=1))
+        du = (cs["R_ru"] - cs["c_ux"] * dppdx - cs["c_ux2"] * dphdx
+              - mu_u[None] * cs["c_ux3"])
+        if emdiv > 0.0:
+            dxs = 1.0 / grid.rdx
+            du = du - (emdiv * dxs) * (win(mudf_pad, 0, 0, pad=1)
+                                       - win(mudf_pad, 0, -1, pad=1))[None]
+        dppdy = (win(p_pad, 0, 0, pad=1) - win(p_pad, -1, 0, pad=1)) * grid.rdy
+        dphdy_w = (win(ph_pad, 0, 0, pad=1) - win(ph_pad, -1, 0, pad=1)) * grid.rdy
+        dphdy = 0.5 * (dphdy_w[:-1] + dphdy_w[1:])
+        mu_v = 0.5 * (win(mu_pad, -1, 0, pad=1) + win(mu_pad, 0, 0, pad=1))
+        dv = (cs["R_rv"] - cs["c_vy"] * dppdy - cs["c_vy2"] * dphdy
+              - mu_v[None] * cs["c_vy3"])
+        if emdiv > 0.0:
+            dys = 1.0 / grid.rdy
+            dv = dv - (emdiv * dys) * (win(mudf_pad, 0, 0, pad=1)
+                                       - win(mudf_pad, -1, 0, pad=1))[None]
+        return {"u": cs["u"] + dtau * du, "v": cs["v"] + dtau * dv}
+
+    def divth_fn(padded, cs):
+        """Horizontal divergence + theta horizontal flux divergence from the
+        padded new acoustic winds."""
+        u_e = win(padded["u"], 0, 1, pad=1)
+        u_w = win(padded["u"], 0, 0, pad=1)
+        v_n = win(padded["v"], 1, 0, pad=1)
+        v_s = win(padded["v"], 0, 0, pad=1)
+        div = (u_e - u_w) * grid.rdx + (v_n - v_s) * grid.rdy
+        hdiv_th = ((u_e * cs["th_x_e"] - u_w * cs["th_x_w"]) * grid.rdx
+                   + (v_n * cs["th_y_n"] - v_s * cs["th_y_s"]) * grid.rdy)
+        return {"div": div, "hdiv_th": hdiv_th}
+
+    mom_consts = {"R_ru": R["ru"], "R_rv": R["rv"],
+                  "c_ux": ac["c_ux"], "c_ux2": ac["c_ux2"], "c_ux3": ac["c_ux3"],
+                  "c_vy": ac["c_vy"], "c_vy2": ac["c_vy2"], "c_vy3": ac["c_vy3"]}
+    divth_consts = {"th_x_w": th_x_w, "th_x_e": th_x_e,
+                    "th_y_s": th_y_s, "th_y_n": th_y_n}
+
     for _ in range(ns):
         p_now = p_of2(th, ph)
         p_d = p_now + smdiv * (p_now - p_prev)
         p_prev = p_now
 
-        g1 = hx.pad_many({"p": p_d, "ph": ph}, 1)
-        p_pad, ph_pad = g1["p"], g1["ph"]
+        # --- forward horizontal momentum (overlapped exchange 1) --------
+        uv = overlap_stencil(hx, {"p": p_d, "ph": ph, "mu": mu, "mudf": mudf},
+                             1, mom_fn, {**mom_consts, "u": u, "v": v})
+        u, v = uv["u"], uv["v"]
 
-        # --- forward horizontal momentum -------------------------------
-        dppdx = (win(p_pad, 0, 0, pad=1) - win(p_pad, 0, -1, pad=1)) * grid.rdx
-        dphdx_w = (win(ph_pad, 0, 0, pad=1) - win(ph_pad, 0, -1, pad=1)) * grid.rdx
-        dphdx = 0.5 * (dphdx_w[:-1] + dphdx_w[1:])
-        du = R["ru"] - ac["c_ux"] * dppdx - ac["c_ux2"] * dphdx
-        # mu'' cross term: -mu''_u * (eps*alpha)_u * d(p'_ref)/dx
-        g3 = hx.pad_many({"mu": mu, "mudf": mudf}, 1)
-        mu_pad, mudf_pad = g3["mu"], g3["mudf"]
-        mu_u = 0.5 * (win(mu_pad, 0, -1, pad=1) + win(mu_pad, 0, 0, pad=1))
-        du = du - mu_u[None] * ac["c_ux3"]
-        if emdiv > 0.0:
-            dxs = 1.0 / grid.rdx
-            du = du - (emdiv * dxs) * (win(mudf_pad, 0, 0, pad=1)
-                                       - win(mudf_pad, 0, -1, pad=1))[None]
-        u = u + dtau * du
-
-        dppdy = (win(p_pad, 0, 0, pad=1) - win(p_pad, -1, 0, pad=1)) * grid.rdy
-        dphdy_w = (win(ph_pad, 0, 0, pad=1) - win(ph_pad, -1, 0, pad=1)) * grid.rdy
-        dphdy = 0.5 * (dphdy_w[:-1] + dphdy_w[1:])
-        mu_v = 0.5 * (win(mu_pad, -1, 0, pad=1) + win(mu_pad, 0, 0, pad=1))
-        dv = R["rv"] - ac["c_vy"] * dppdy - ac["c_vy2"] * dphdy - mu_v[None] * ac["c_vy3"]
-        if emdiv > 0.0:
-            dys = 1.0 / grid.rdy
-            dv = dv - (emdiv * dys) * (win(mudf_pad, 0, 0, pad=1)
-                                       - win(mudf_pad, -1, 0, pad=1))[None]
-        v = v + dtau * dv
+        # --- divergence + theta fluxes (overlapped exchange 2) ----------
+        dd = overlap_stencil(hx, {"u": u, "v": v}, 1, divth_fn, divth_consts)
+        div = dd["div"]
 
         # --- column mass and omega'' ----------------------------------
-        g2 = hx.pad_many({"u": u, "v": v}, 1)
-        div = _div(g2["u"], g2["v"], grid)
         dmu_ac = jnp.sum(dnw * div, axis=0)              # (ny,nx)
         mudf = dmu_ac                                    # used next substep
         mu = mu + dtau * (R["rmu"] + dmu_ac)
@@ -143,12 +178,8 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         om = jnp.concatenate([jnp.zeros_like(div[:1]), jnp.cumsum(incr, axis=0)], axis=0)
 
         # --- forward Theta'' ------------------------------------------
-        fx = win(g2["u"], 0, 0, ex=1, pad=1) * ac["th_x"]
-        fy = win(g2["v"], 0, 0, ey=1, pad=1) * ac["th_y"]
         fz = om * ac["th_z"]
-        dth = R["rth"] - ((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
-                          + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy
-                          + (fz[1:] - fz[:-1]) * rdnw)
+        dth = R["rth"] - (dd["hdiv_th"] + (fz[1:] - fz[:-1]) * rdnw)
         th = th + dtau * dth
 
         # --- implicit W''-phi'' ---------------------------------------

@@ -246,10 +246,24 @@ def overlap_stencil(hx: HaloOps, fields: Dict[str, jax.Array], width: int,
         padded = {k: hx.pad(v, width) for k, v in fields.items()}
         return fn(padded, consts)
 
-    strips = {k: hx.exchange_start(v, width) for k, v in fields.items()}
+    # pack same-shaped fields into one stacked exchange (pad_many's packed
+    # message buffers), issued for all groups up front
+    groups: Dict[Tuple[Tuple[int, ...], str], List[str]] = {}
+    for name, a in fields.items():
+        groups.setdefault((tuple(a.shape), str(a.dtype)), []).append(name)
+    stacked = {gid: jnp.stack([fields[n] for n in names], axis=0)
+               if len(names) > 1 else fields[names[0]]
+               for gid, names in groups.items()}
+    strips = {gid: hx.exchange_start(a, width) for gid, a in stacked.items()}
     bulk = fn({k: hx.local_pad(v, width) for k, v in fields.items()}, consts)
-    padded = {k: hx.exchange_finish(v, strips[k], width)
-              for k, v in fields.items()}
+    padded: Dict[str, jax.Array] = {}
+    for gid, names in groups.items():
+        p = hx.exchange_finish(stacked[gid], strips[gid], width)
+        if len(names) == 1:
+            padded[names[0]] = p
+        else:
+            for i, n in enumerate(names):
+                padded[n] = p[i]
 
     ny = next(iter(fields.values())).shape[-2]
     nx = next(iter(fields.values())).shape[-1]
