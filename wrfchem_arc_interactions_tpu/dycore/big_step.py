@@ -36,17 +36,27 @@ def avg_y_to_v(a_pad, **kw):
 
 
 def pgf_uv(p_pert_pad, ph_pert_pad, al_full_pad, eps_pad, mu_full_pad,
-           grid: Grid) -> Tuple[jax.Array, jax.Array]:
+           grid: Grid, base_pads=None) -> Tuple[jax.Array, jax.Array]:
     """Horizontal pressure-gradient force for the coupled U and V equations:
 
-      F_U = -mu_d alpha d(p')/dx - (alpha/alpha_d) [mu_bar + d(p')/d(eta)] d(phi')/dx
+      F_U = -mu_d alpha d(p')/dx - (alpha/alpha_d) [mu_b + d(p')/d(eta)] d(phi')/dx
+            [+ terrain] + eps d(phb)/dx [ mu_d alpha_d/alb - mu_b - d(p')/d(eta) ]
 
     with alpha the full *moist* specific volume (alpha = eps * alpha_d) per
-    the ARW momentum equations.  Returns interior (nz, ny, nx) tendencies at
-    u and v faces.
+    the ARW momentum equations.  The terrain term is the perturbation form
+    of the cross terms -mu alpha d(pb)/dx|eta - eps [mu_b + d(p')/d(eta)]
+    d(phb)/dx with the discrete base gradient DEFINED by the hydrostatic
+    identity d(pb)/dx|eta = -d(phb)/dx / alb, so an unperturbed atmosphere
+    at rest over orography is an exact discrete steady state (canonical:
+    the base/perturbation split of module_big_step_utilities_em.F
+    horizontal_pressure_gradient).
+
+    ``base_pads``: optional dict of PAD-padded {phb, mub, alb} — required
+    (and only used) when grid.has_terrain.  Returns interior (nz, ny, nx)
+    tendencies at u and v faces.
     """
     rdx, rdy = grid.rdx, grid.rdy
-    mub = grid.mub  # interior (ny, nx) — base state horizontally uniform
+    terrain = grid.has_terrain and base_pads is not None
 
     al_moist_pad = eps_pad * al_full_pad
 
@@ -62,7 +72,11 @@ def pgf_uv(p_pert_pad, ph_pert_pad, al_full_pad, eps_pad, mu_full_pad,
     dphdx_w = (win(ph_pert_pad, 0, 0) - win(ph_pert_pad, 0, -1)) * rdx
     dphdx = 0.5 * (dphdx_w[:-1] + dphdx_w[1:])
     eps_u = avg_x_to_u(eps_pad)
-    t2_u = -eps_u * (mub[None] + dpdn_u) * dphdx
+    if terrain:
+        mub_u = avg_x_to_u(base_pads["mub"])[None]
+    else:
+        mub_u = grid.mub[None]
+    t2_u = -eps_u * (mub_u + dpdn_u) * dphdx
 
     dpdy = (win(p_pert_pad, 0, 0) - win(p_pert_pad, -1, 0)) * rdy
     mu_v = avg_y_to_v(mu_full_pad)
@@ -74,9 +88,33 @@ def pgf_uv(p_pert_pad, ph_pert_pad, al_full_pad, eps_pad, mu_full_pad,
     dphdy_w = (win(ph_pert_pad, 0, 0) - win(ph_pert_pad, -1, 0)) * rdy
     dphdy = 0.5 * (dphdy_w[:-1] + dphdy_w[1:])
     eps_v = avg_y_to_v(eps_pad)
-    t2_v = -eps_v * (mub[None] + dpdn_v) * dphdy
+    if terrain:
+        mub_v = avg_y_to_v(base_pads["mub"])[None]
+    else:
+        mub_v = grid.mub[None]
+    t2_v = -eps_v * (mub_v + dpdn_v) * dphdy
 
-    return t1_u + t2_u, t1_v + t2_v
+    fu = t1_u + t2_u
+    fv = t1_v + t2_v
+
+    if terrain:
+        # dry alpha at faces; base-state gradients along eta surfaces
+        ald_u = avg_x_to_u(al_full_pad)
+        alb_u = avg_x_to_u(base_pads["alb"])
+        dphbdx_w = (win(base_pads["phb"], 0, 0)
+                    - win(base_pads["phb"], 0, -1)) * rdx
+        dphbdx = 0.5 * (dphbdx_w[:-1] + dphbdx_w[1:])
+        fu = fu + eps_u * dphbdx * (mu_u[None] * ald_u / alb_u
+                                    - mub_u - dpdn_u)
+        ald_v = avg_y_to_v(al_full_pad)
+        alb_v = avg_y_to_v(base_pads["alb"])
+        dphbdy_w = (win(base_pads["phb"], 0, 0)
+                    - win(base_pads["phb"], -1, 0)) * rdy
+        dphbdy = 0.5 * (dphbdy_w[:-1] + dphbdy_w[1:])
+        fv = fv + eps_v * dphbdy * (mu_v[None] * ald_v / alb_v
+                                    - mub_v - dpdn_v)
+
+    return fu, fv
 
 
 def buoyancy_w(p_pert, eps, mu_pert, grid: Grid) -> jax.Array:
@@ -127,23 +165,33 @@ def omega_diagnosis(ru_pad, rv_pad, grid: Grid, hx) -> Tuple[jax.Array, jax.Arra
     return dmudt, ww
 
 
-def rphi_tendency(u_pad, v_pad, ph_pert_pad, w, ww, mu_full, grid: Grid) -> jax.Array:
+def rphi_tendency(u_pad, v_pad, ph_pert_pad, w, ww, mu_full, grid: Grid,
+                  phb_pad=None) -> jax.Array:
     """R_phi = -(1/mu_d)[ U d(phi)/dx + V d(phi)/dy + omega d(phi)/d(eta)
     - g W ] at w levels; the advective-form geopotential equation.
 
     u_pad/v_pad here are the *coupled* U, V (PAD-padded); w, ww, mu_full
-    are interior.  d(phi)/dx is the perturbation gradient (flat base).
-    Surface level (k=0) is zeroed: phi_sfc is time-invariant.
+    are interior.  With terrain the horizontal gradient includes the base
+    geopotential slope (phb_pad); over a flat base d(phb)/dx = 0 and only
+    the perturbation gradient remains.  Surface level (k=0) is zeroed:
+    phi_sfc is time-invariant.
     """
     from wrfchem_arc_interactions_tpu.utils.constants import G
     fnm, fnp = grid.fnm, grid.fnp
-    # U at (u-face, w-level); product with d(phi')/dx there; avg back to mass x
+    terrain = grid.has_terrain and phb_pad is not None
+    # U at (u-face, w-level); product with d(phi)/dx there; avg back to mass x
     u_w = avg_z_centers_to_faces(win(u_pad, 0, 0, ex=1), fnm, fnp)
     dphdx_w = (win(ph_pert_pad, 0, 0, ex=1) - win(ph_pert_pad, 0, -1, ex=1)) * grid.rdx
+    if terrain:
+        dphdx_w = dphdx_w + (win(phb_pad, 0, 0, ex=1)
+                             - win(phb_pad, 0, -1, ex=1)) * grid.rdx
     adv_x = 0.5 * (u_w[..., :-1] * dphdx_w[..., :-1] + u_w[..., 1:] * dphdx_w[..., 1:])
 
     v_w = avg_z_centers_to_faces(win(v_pad, 0, 0, ey=1), fnm, fnp)
     dphdy_w = (win(ph_pert_pad, 0, 0, ey=1) - win(ph_pert_pad, -1, 0, ey=1)) * grid.rdy
+    if terrain:
+        dphdy_w = dphdy_w + (win(phb_pad, 0, 0, ey=1)
+                             - win(phb_pad, -1, 0, ey=1)) * grid.rdy
     adv_y = 0.5 * (v_w[:, :-1, :] * dphdy_w[:, :-1, :] + v_w[:, 1:, :] * dphdy_w[:, 1:, :])
 
     # omega * d(phi)/d(eta) at w levels (central in eta over full levels)

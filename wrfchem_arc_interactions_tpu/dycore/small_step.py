@@ -26,8 +26,10 @@ integral.  Per substep dtau:
    (epssm); solved by the batched Thomas scan.  Optional implicit Rayleigh
    damping on w (damp_opt=3) adds to the diagonal.
 
-Boundary conditions: W''(surface) = 0 and phi''(surface) = 0 (flat terrain,
-round-1 scope); p'' = 0 at the model top (constant-pressure lid for the
+Boundary conditions: phi''(surface) = 0 (the surface geopotential is static);
+W'' at the surface is 0 over flat terrain and the kinematic free-slip value
+w = u.grad(phi_sfc)/g over orography, evaluated with the substep's new
+acoustic winds; p'' = 0 at the model top (constant-pressure lid for the
 acoustic modes); omega'' = 0 at both eta boundaries by construction.
 """
 
@@ -136,11 +138,21 @@ def acoustic_loop(pp: Dict[str, jax.Array],
             dys = 1.0 / grid.rdy
             dv = dv - (emdiv * dys) * (win(mudf_pad, 0, 0, pad=1)
                                        - win(mudf_pad, -1, 0, pad=1))[None]
+        if grid.has_terrain:
+            # sloped-coordinate term: -eps d(phb)/dx * d(p'')/d(eta)
+            from wrfchem_arc_interactions_tpu.dycore.diagnostics import ddz_center
+            dpdn = ddz_center(win(p_pad, 0, -1, ex=1, pad=1), grid.znu)
+            dpdn_u = 0.5 * (dpdn[..., :-1] + dpdn[..., 1:])
+            du = du - cs["c_ux4"] * dpdn_u
+            dpdn_y = ddz_center(win(p_pad, -1, 0, ey=1, pad=1), grid.znu)
+            dpdn_v = 0.5 * (dpdn_y[:, :-1, :] + dpdn_y[:, 1:, :])
+            dv = dv - cs["c_vy4"] * dpdn_v
         return {"u": cs["u"] + dtau * du, "v": cs["v"] + dtau * dv}
 
     def divth_fn(padded, cs):
         """Horizontal divergence + theta horizontal flux divergence from the
-        padded new acoustic winds."""
+        padded new acoustic winds (+ the kinematic surface-w target over
+        terrain, which needs the same u/v halos)."""
         u_e = win(padded["u"], 0, 1, pad=1)
         u_w = win(padded["u"], 0, 0, pad=1)
         v_n = win(padded["v"], 1, 0, pad=1)
@@ -148,13 +160,22 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         div = (u_e - u_w) * grid.rdx + (v_n - v_s) * grid.rdy
         hdiv_th = ((u_e * cs["th_x_e"] - u_w * cs["th_x_w"]) * grid.rdx
                    + (v_n * cs["th_y_n"] - v_s * cs["th_y_s"]) * grid.rdy)
-        return {"div": div, "hdiv_th": hdiv_th}
+        out = {"div": div, "hdiv_th": hdiv_th}
+        if grid.has_terrain:
+            out["wsfc_pp"] = (cs["cwx_w"] * u_w[0] + cs["cwx_e"] * u_e[0]
+                              + cs["cwy_s"] * v_s[0] + cs["cwy_n"] * v_n[0])
+        return out
 
     mom_consts = {"R_ru": R["ru"], "R_rv": R["rv"],
                   "c_ux": ac["c_ux"], "c_ux2": ac["c_ux2"], "c_ux3": ac["c_ux3"],
                   "c_vy": ac["c_vy"], "c_vy2": ac["c_vy2"], "c_vy3": ac["c_vy3"]}
     divth_consts = {"th_x_w": th_x_w, "th_x_e": th_x_e,
                     "th_y_s": th_y_s, "th_y_n": th_y_n}
+    if grid.has_terrain:
+        mom_consts["c_ux4"] = ac["c_ux4"]
+        mom_consts["c_vy4"] = ac["c_vy4"]
+        for k in ("cwx_w", "cwx_e", "cwy_s", "cwy_n"):
+            divth_consts[k] = ac[k]
 
     for _ in range(ns):
         p_now = p_of2(th, ph)
@@ -211,11 +232,17 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         D = (w + dtau * (R["rw"]
                          + G * eps_w * (bp * dpdn_exp + bm * dpdn_old)
                          - G * mu[None]))
-        # surface row: W'' = 0
+        # surface row: flat => W'' = 0; terrain => the kinematic BC
+        # w_sfc = (u dx(phi_sfc) + v dy(phi_sfc))/g evaluated with the NEW
+        # acoustic winds (wsfc_const carries the reference part and the
+        # subtraction of the stage w; wsfc_pp the perturbation-wind part)
         A = A.at[0].set(0.0)
         C = C.at[0].set(0.0)
         B = B.at[0].set(1.0)
-        D = D.at[0].set(0.0)
+        if grid.has_terrain:
+            D = D.at[0].set(ac["wsfc_const"] + dd["wsfc_pp"])
+        else:
+            D = D.at[0].set(0.0)
         w = thomas(A, B, C, D)
         ph = ph_exp + a_w[None] * w
         ph = ph.at[0].set(ph_exp[0])

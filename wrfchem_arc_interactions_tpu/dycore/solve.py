@@ -127,9 +127,17 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             "ph": stage_state["ph"], "t": stage_state["t"],
             "mu": mu_full, "p": diag.p_pert, "al": diag.alpha_d, "eps": diag.eps_ratio,
         }
+        if grid.has_terrain:
+            # time-invariant base-state fields ride the group-A exchange
+            # (packed into the same-shape stacks, so no extra ppermutes)
+            fields["phb"] = grid.phb
+            fields["mub"] = grid.mub
+            fields["alb"] = grid.alb
         for q in scalars:
             fields[q] = stage_state[q]
         gA = hx.pad_many(fields, 3)
+        base_pads = ({"phb": gA["phb"], "mub": gA["mub"], "alb": gA["alb"]}
+                     if grid.has_terrain else None)
 
         mu_u_pad = _mu_u(gA["mu"])
         mu_v_pad = _mu_v(gA["mu"])
@@ -142,7 +150,8 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         V_pad = rv_pad
 
         # ---- large-step tendencies R --------------------------------
-        pgf_u, pgf_v = bs.pgf_uv(gA["p"], gA["ph"], gA["al"], gA["eps"], gA["mu"], grid)
+        pgf_u, pgf_v = bs.pgf_uv(gA["p"], gA["ph"], gA["al"], gA["eps"], gA["mu"],
+                                 grid, base_pads=base_pads)
         cor_u, cor_v = bs.coriolis_uv(gA["u"], gA["v"], gA["mu"], grid)
         mu_u = win(mu_u_pad, 0, 0)
         mu_v = win(mu_v_pad, 0, 0)
@@ -173,7 +182,8 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         # the vertical acoustic modes (see scripts/acoustic_stability.py).
         R["rph"] = bs.rphi_tendency(U_pad, V_pad, gA["ph"],
                                     mu_full[None] * stage_state["w"], ww,
-                                    mu_full, grid)
+                                    mu_full, grid,
+                                    phb_pad=gA.get("phb"))
         R["rmu"] = dmudt
 
         # ---- acoustic coefficients ----------------------------------
@@ -213,6 +223,51 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             "rv_ref": win(rv_pad, 0, 0),
             "ww_ref": ww,
         }
+
+        if grid.has_terrain:
+            # Sloped-coordinate metric terms for the acoustic linearisation
+            # (canonical: the ph_b gradients of module_small_step_em.F
+            # advance_uv).  Linearising the terrain PGF term
+            #   F = eps d(phb)/dx [mu alpha_d/alb - mub - d(p')/d(eta)]
+            # around the stage reference gives a mu''-coefficient (folded
+            # into c_ux3) and a d(p'')/d(eta)-coefficient (c_ux4).
+            mub_u = 0.5 * (win(gA["mub"], 0, -1) + win(gA["mub"], 0, 0))
+            mub_v = 0.5 * (win(gA["mub"], -1, 0) + win(gA["mub"], 0, 0))
+            alb_u = 0.5 * (win(gA["alb"], 0, -1) + win(gA["alb"], 0, 0))
+            alb_v = 0.5 * (win(gA["alb"], -1, 0) + win(gA["alb"], 0, 0))
+            ald_u = 0.5 * (win(gA["al"], 0, -1) + win(gA["al"], 0, 0))
+            ald_v = 0.5 * (win(gA["al"], -1, 0) + win(gA["al"], 0, 0))
+            dphbdx_w = (win(gA["phb"], 0, 0, ex=1)
+                        - win(gA["phb"], 0, -1, ex=1)) * grid.rdx
+            dphbdx = 0.5 * (dphbdx_w[:-1, :, :-1] + dphbdx_w[1:, :, :-1])
+            dphbdy_w = (win(gA["phb"], 0, 0, ey=1)
+                        - win(gA["phb"], -1, 0, ey=1)) * grid.rdy
+            dphbdy = 0.5 * (dphbdy_w[:-1, :-1, :] + dphbdy_w[1:, :-1, :])
+            ac["c_ux2"] = eps_u * (mub_u[None] + dpdn_u)
+            ac["c_vy2"] = eps_v * (mub_v[None] + dpdn_v)
+            ac["c_ux3"] = eal_u * dpdx_ref - eps_u * dphbdx * (ald_u / alb_u)
+            ac["c_vy3"] = eal_v * dpdy_ref - eps_v * dphbdy * (ald_v / alb_v)
+            ac["c_ux4"] = eps_u * dphbdx
+            ac["c_vy4"] = eps_v * dphbdy
+
+            # kinematic surface BC  w_sfc = (u dxphi_sfc + v dyphi_sfc)/g,
+            # split into a reference part (wsfc_const) and coefficients for
+            # the acoustic wind perturbations at the four surrounding faces
+            mu_u_facex = win(mu_u_pad, 0, 0, ex=1)            # faces 0..nx
+            mu_v_facey = win(mu_v_pad, 0, 0, ey=1)
+            dhdx_f = dphbdx_w[0] / c.G                        # (ny, nx+1)
+            dhdy_f = dphbdy_w[0] / c.G
+            u_ref_f = win(ru_pad, 0, 0, ex=1)[0] / mu_u_facex
+            v_ref_f = win(rv_pad, 0, 0, ey=1)[0] / mu_v_facey
+            w_ref_sfc = 0.5 * (u_ref_f[:, :-1] * dhdx_f[:, :-1]
+                               + u_ref_f[:, 1:] * dhdx_f[:, 1:]
+                               + v_ref_f[:-1, :] * dhdy_f[:-1, :]
+                               + v_ref_f[1:, :] * dhdy_f[1:, :])
+            ac["wsfc_const"] = mu_full * (w_ref_sfc - stage_state["w"][0])
+            ac["cwx_w"] = mu_full * 0.5 * dhdx_f[:, :-1] / mu_u_facex[:, :-1]
+            ac["cwx_e"] = mu_full * 0.5 * dhdx_f[:, 1:] / mu_u_facex[:, 1:]
+            ac["cwy_s"] = mu_full * 0.5 * dhdy_f[:-1, :] / mu_v_facey[:-1, :]
+            ac["cwy_n"] = mu_full * 0.5 * dhdy_f[1:, :] / mu_v_facey[1:, :]
 
         # ---- acoustic perturbation initial values -------------------
         cplref = {

@@ -57,6 +57,10 @@ class Grid:
     dx: float = dataclasses.field(metadata=dict(static=True))
     dy: float = dataclasses.field(metadata=dict(static=True))
     p_top: float = dataclasses.field(metadata=dict(static=True))
+    # non-flat terrain switches on the sloped-coordinate metric terms in the
+    # PGF and the acoustic loop (static: selects the compiled program)
+    has_terrain: bool = dataclasses.field(default=False,
+                                          metadata=dict(static=True))
 
     @property
     def nz(self) -> int:
@@ -77,44 +81,6 @@ class Grid:
     @property
     def rdy(self) -> float:
         return 1.0 / self.dy
-
-
-def _dry_hydrostatic_column(theta_of_z: Callable[[np.ndarray], np.ndarray],
-                            znw: np.ndarray, p_surf: float, p_top: float,
-                            z_surf: float = 0.0, n_iter: int = 10):
-    """Iteratively compute base-state (pb, alb, phb, theta) for one column.
-
-    Mirrors the fixed-point iteration of the reference's ideal initialisers
-    (canonical: module_initialize_squall2d_x.F): pressure at half levels is
-    fixed by eta; heights follow from hydrostatic integration; theta is
-    re-evaluated at the new heights until converged.
-    """
-    nz = len(znw) - 1
-    znu = 0.5 * (znw[:-1] + znw[1:])
-    dnw = np.diff(znw)
-    mub = p_surf - p_top
-    pb = znu * mub + p_top                      # (nz,)
-    z_half = z_surf + np.linspace(0.0, 10.0e3, nz)   # crude first guess
-    for _ in range(n_iter):
-        theta = theta_of_z(z_half)
-        alb = (c.R_D * theta / c.P0) * (pb / c.P0) ** (-c.CV / c.CP)
-        # integrate d(phb)/d(eta) = -mub*alb upward from the surface
-        phb = np.empty(nz + 1)
-        phb[0] = c.G * z_surf
-        for k in range(nz):
-            phb[k + 1] = phb[k] - dnw[k] * mub * alb[k]
-        z_half_new = 0.5 * (phb[:-1] + phb[1:]) / c.G
-        if np.max(np.abs(z_half_new - z_half)) < 1e-9:
-            z_half = z_half_new
-            break
-        z_half = z_half_new
-    theta = theta_of_z(z_half)
-    alb = (c.R_D * theta / c.P0) * (pb / c.P0) ** (-c.CV / c.CP)
-    phb = np.empty(nz + 1)
-    phb[0] = c.G * z_surf
-    for k in range(nz):
-        phb[k + 1] = phb[k] - dnw[k] * mub * alb[k]
-    return mub, pb, alb, phb, theta
 
 
 def make_eta_levels(nz: int,
@@ -168,9 +134,14 @@ def make_grid(cfg: Config,
 
     ``theta_of_z`` is the base-state potential-temperature sounding (numpy,
     called at setup time only — this runs on host, not under jit).
-    Terrain support: phb integration starts from g*ht per column (flat
-    terrain keeps mub horizontally uniform; non-flat mub would need the
-    surface dry pressure — currently only flat terrain is exercised).
+
+    Terrain: per-column surface dry pressure is read from the fine
+    hydrostatic p(z) of the sounding at z = ht, giving a column-dependent
+    mub (canonical start_em.F); the base state is then iterated per column
+    (vectorised over (ny, nx)) so phb/alb/pb satisfy the discrete
+    hydrostatic relation d(phb)/d(eta) = -mub*alb exactly, which the
+    perturbation-form PGF relies on for exact rest-state balance over
+    orography.
     """
     d = cfg.domain
     nz, ny, nx = d.nz, d.ny, d.nx
@@ -191,14 +162,41 @@ def make_grid(cfg: Config,
 
     if terrain is None:
         terrain = np.zeros((ny, nx))
-    mub_c, pb_c, alb_c, phb_c, th_c = _dry_hydrostatic_column(
-        theta_of_z, znw, p_surf, d.p_top)
-    mub = np.full((ny, nx), mub_c)
-    pb = np.broadcast_to(pb_c[:, None, None], (nz, ny, nx)).copy()
-    alb = np.broadcast_to(alb_c[:, None, None], (nz, ny, nx)).copy()
-    phb = np.broadcast_to(phb_c[:, None, None], (nz + 1, ny, nx)).copy()
-    t_init = np.broadcast_to(th_c[:, None, None], (nz, ny, nx)).copy()
-    phb = phb + c.G * terrain[None, :, :]  # flat-terrain shift (exact for ht=const)
+    terrain = np.asarray(terrain, np.float64)
+    has_terrain = bool(np.any(terrain != terrain.flat[0])) or bool(terrain.flat[0] != 0.0)
+
+    if has_terrain:
+        # per-column surface dry pressure from the fine hydrostatic p(z)
+        zf = np.linspace(0.0, max(d.ztop, float(terrain.max()) + 1.0), 4001)
+        theta_f = theta_of_z(zf)
+        pi = np.empty_like(zf)
+        pi[0] = (p_surf / c.P0) ** (c.R_D / c.CP)
+        dzf = zf[1] - zf[0]
+        th_mid = 0.5 * (theta_f[:-1] + theta_f[1:])
+        for i in range(len(zf) - 1):
+            pi[i + 1] = pi[i] - dzf * c.G / (c.CP * th_mid[i])
+        p_of_z = c.P0 * pi ** (c.CP / c.R_D)
+        p_surf_col = np.interp(terrain, zf, p_of_z)          # (ny, nx)
+    else:
+        p_surf_col = np.full((ny, nx), p_surf)
+
+    # vectorised per-column base-state iteration (float64 host-side)
+    mub = p_surf_col - d.p_top                               # (ny, nx)
+    pb = znu[:, None, None] * mub[None] + d.p_top            # (nz, ny, nx)
+    z_half = terrain[None] + np.linspace(100.0, 10.0e3, nz)[:, None, None]
+    phb = np.empty((nz + 1, ny, nx))
+    for _ in range(12):
+        t_init = theta_of_z(z_half)
+        alb = (c.R_D * t_init / c.P0) * (pb / c.P0) ** (-c.CV / c.CP)
+        phb[0] = c.G * terrain
+        for k in range(nz):
+            phb[k + 1] = phb[k] - dnw[k] * mub * alb[k]
+        z_half = 0.5 * (phb[:-1] + phb[1:]) / c.G
+    t_init = theta_of_z(z_half)
+    alb = (c.R_D * t_init / c.P0) * (pb / c.P0) ** (-c.CV / c.CP)
+    phb[0] = c.G * terrain
+    for k in range(nz):
+        phb[k + 1] = phb[k] - dnw[k] * mub * alb[k]
 
     ones = np.ones((ny, nx))
     arr = lambda a: jnp.asarray(a, dtype)
@@ -210,4 +208,5 @@ def make_grid(cfg: Config,
         f=arr(f0 * ones), ht=arr(terrain),
         xlat=arr(lat0 * ones), xlong=arr(lon0 * ones),
         dx=float(d.dx), dy=float(d.dy), p_top=float(d.p_top),
+        has_terrain=has_terrain,
     )

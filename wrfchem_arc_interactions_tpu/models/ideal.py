@@ -40,12 +40,15 @@ def _eps_w_np(qtot: np.ndarray, fnm: np.ndarray, fnp: np.ndarray) -> np.ndarray:
 
 
 def balance_columns(grid: Grid, theta: np.ndarray, qv: np.ndarray,
-                    p_sfc: float = c.P0, n_iter: int = 30):
+                    p_sfc=c.P0, n_iter: int = 30):
     """Hydrostatically balance (theta, qv) columns on the model grid.
 
     theta, qv: (nz, ny, nx) float64 full fields (perturbations included).
+    p_sfc: surface (moist) pressure — scalar, or (ny, nx) per column for
+    terrain (the hill cases pass grid.mub + p_top).
     Returns (t_pert, mu_pert, ph_pert, p_half) as float64 numpy arrays.
     """
+    p_sfc = np.asarray(p_sfc, np.float64)
     znw = np.asarray(grid.znw, np.float64)
     znu = np.asarray(grid.znu, np.float64)
     dnw = np.asarray(grid.dnw, np.float64)
@@ -110,10 +113,11 @@ def init_balanced(cfg: Config, grid: Grid,
                   theta_full: np.ndarray, qv: np.ndarray,
                   u: Optional[np.ndarray] = None,
                   v: Optional[np.ndarray] = None,
-                  tsk: Optional[float] = None) -> State:
+                  tsk: Optional[float] = None,
+                  p_sfc=c.P0) -> State:
     """Build a state from full (theta, qv) fields + optional winds."""
     state = build_state(cfg)
-    t_pert, mu_pert, ph_pert, p = balance_columns(grid, theta_full, qv)
+    t_pert, mu_pert, ph_pert, p = balance_columns(grid, theta_full, qv, p_sfc)
     dtype = state["t"].dtype
     state["t"] = jnp.asarray(t_pert, dtype)
     state["mu"] = jnp.asarray(mu_pert, dtype)
@@ -199,8 +203,30 @@ def supercell_3d(cfg: Config, grid: Grid, bubble_amp: float = 3.0,
     return init_balanced(cfg, grid, theta, qv, u=u_prof, v=v_prof)
 
 
+def hill2d_x(cfg: Config, hm: float = 100.0, a_half: float = 10000.0,
+             u0: float = 10.0) -> Tuple[Grid, State]:
+    """2D (x-z) flow over a witch-of-Agnesi hill — the mountain-wave case
+    (canonical: module_initialize_hill2d_x.F).  Constant-N sounding, uniform
+    wind u0; the initial state is the exact discrete base state over the
+    terrain (dry, at rest relative to the base state except for u0), so the
+    terrain-following PGF balance is exercised directly.
+    """
+    d = cfg.domain
+    x = (np.arange(d.nx) + 0.5 - 0.5 * d.nx) * d.dx
+    ht = hm / (1.0 + (x / a_half) ** 2)
+    ht2d = np.broadcast_to(ht[None, :], (d.ny, d.nx))
+    grid = make_grid(cfg, soundings.constant_n2_theta(), terrain=ht2d)
+    theta = np.asarray(grid.t_init, np.float64)
+    qv = np.zeros((d.nz, d.ny, d.nx))
+    p_sfc = np.asarray(grid.mub, np.float64) + grid.p_top
+    state = init_balanced(cfg, grid, theta, qv, u=u0, p_sfc=p_sfc)
+    return grid, state
+
+
 def make_case(cfg: Config, case: str = "warm_bubble", **kw):
     """Convenience: (grid, state) for a named ideal case."""
+    if case == "hill2d_x":
+        return hill2d_x(cfg, **kw)
     if case == "warm_bubble":
         grid = make_grid(cfg, soundings.constant_n2_theta())
         return grid, warm_bubble(cfg, grid, **kw)

@@ -34,7 +34,11 @@ from wrfchem_arc_interactions_tpu.parallel.mesh import AXIS_X, AXIS_Y
 
 
 def _bc_mode(bc: BCKind) -> str:
-    return {BCKind.PERIODIC: "wrap", BCKind.OPEN: "edge", BCKind.SYMMETRIC: "reflect"}[bc]
+    # SPECIFIED halos are edge-replicated: the outermost row is pinned to the
+    # boundary data post-step (models/lateral_bc.py), so the halo beyond it
+    # only needs a consistent extrapolation, exactly like OPEN
+    return {BCKind.PERIODIC: "wrap", BCKind.OPEN: "edge",
+            BCKind.SYMMETRIC: "reflect", BCKind.SPECIFIED: "edge"}[bc]
 
 
 def _bc_strip(a: jax.Array, axis: int, width: int, bc: BCKind, side: str) -> jax.Array:
@@ -78,6 +82,11 @@ class HaloOps:
 
     def _pad_axis_sharded(self, a: jax.Array, axis: int, width: int, bc: BCKind,
                           axis_name: str, nmesh: int) -> jax.Array:
+        if a.shape[axis] < width:
+            raise ValueError(
+                f"block extent {a.shape[axis]} on axis {axis} is smaller than "
+                f"the halo width {width}: decompose fewer ways or enlarge the "
+                f"domain (RSL_LITE's min-patch-size rule)")
         idx_lo = [slice(None)] * a.ndim
         idx_hi = [slice(None)] * a.ndim
         idx_lo[axis] = slice(0, width)
