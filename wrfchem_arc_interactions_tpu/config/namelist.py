@@ -28,6 +28,9 @@ class BCKind(str, enum.Enum):
     PERIODIC = "periodic"
     OPEN = "open"          # radiative outflow / zero-gradient inflow
     SYMMETRIC = "symmetric"
+    SPECIFIED = "specified"  # Davies spec+relax zones fed by boundary data
+                             # (models/lateral_bc.py; halo fill is edge-
+                             # replicated, the forcing is post-step)
 
 
 class MPScheme(str, enum.Enum):
@@ -174,6 +177,8 @@ class DynamicsConfig:
     mix_full_fields: bool = True
     bc_x: BCKind = BCKind.PERIODIC
     bc_y: BCKind = BCKind.PERIODIC
+    spec_zone: int = 1             # &bdy_control spec_zone (specified rows)
+    relax_zone: int = 4            # &bdy_control relax_zone (Davies nudging)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,21 +33,43 @@ from wrfchem_arc_interactions_tpu.utils.logging import log
 
 
 def full_step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
-              do_radiation: bool, do_chem: bool, time_s: float) -> State:
-    """One complete model step: physics pre -> dynamics -> physics post."""
+              do_radiation: bool, do_chem: bool, time_s: float,
+              boundary=None, spec_bc=None) -> State:
+    """One complete model step: physics pre -> dynamics -> physics post
+    (-> Davies specified/relaxation BC forcing when boundary data is given)."""
     state, phys_tend = pre_dynamics(state, grid, cfg, hx, dt, do_radiation, time_s)
     state = dyn_step(state, grid, cfg, hx, dt, phys_tend)
     state = post_dynamics(state, grid, cfg, hx, dt, do_chem)
+    if boundary is not None and spec_bc is not None:
+        state = spec_bc.apply(state, boundary, time_s, dt)
     return state
 
 
 class Simulation:
     def __init__(self, cfg: Config, grid: Grid, state: State,
                  mesh=None, check_nans: bool = False,
-                 output_dir: Optional[str] = None):
+                 output_dir: Optional[str] = None,
+                 boundary=None):
         self.cfg = cfg
         self.grid = grid
         self.mesh = mesh
+        self.boundary = boundary
+        self.spec_bc = None
+        from wrfchem_arc_interactions_tpu.config.namelist import BCKind
+        if (cfg.dynamics.bc_x == BCKind.SPECIFIED
+                or cfg.dynamics.bc_y == BCKind.SPECIFIED):
+            if boundary is None:
+                raise ValueError("specified BCs need a LateralBoundary")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "specified BCs under a device mesh: shard the boundary "
+                    "pytree (scheduled next round)")
+            from wrfchem_arc_interactions_tpu.models.lateral_bc import (
+                make_specified_bc,
+            )
+            moist = cfg.moist_species()
+            self.spec_bc = make_specified_bc(
+                cfg, grid, names=("u", "v", "w", "t", "mu", "ph") + moist)
         self.check_nans = check_nans
         self.output_dir = output_dir
         self.dt = cfg.time_control.dt
@@ -99,10 +121,15 @@ class Simulation:
         if key not in self._steppers:
             cfg, hx, dt = self.cfg, self.hx, self.dt
             if key == "main":
+                boundary, spec_bc = self.boundary, self.spec_bc
+
                 def fn(s, g, t_s):
                     s, tend = pre_dynamics(s, g, cfg, hx, dt, False, t_s)
                     s = dyn_step(s, g, cfg, hx, dt, tend)
-                    return post_dynamics(s, g, cfg, hx, dt, False)
+                    s = post_dynamics(s, g, cfg, hx, dt, False)
+                    if spec_bc is not None:
+                        s = spec_bc.apply(s, boundary, t_s, dt)
+                    return s
             elif key == "rad":
                 from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
                     radiation_driver,
