@@ -162,3 +162,73 @@ def test_chem_in_simulation():
         assert np.isfinite(np.asarray(v)).all(), k
     # aerosol stayed non-negative through advection + chem
     assert float(out["chem_so4_a01"].min()) >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# movesect (moving-center bin remap) + MESA phase state — round 2
+# ---------------------------------------------------------------------------
+
+def _bins_state(nbin=4, shp=(2, 2, 3)):
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem.mosaic import bins as mbins
+    chem = {}
+    for b in range(1, nbin + 1):
+        for s in list(mbins.AER_SPECIES) + ["water"]:
+            chem[f"chem_{s}_a{b:02d}"] = jnp.zeros(shp)
+        chem[f"chem_num_a{b:02d}"] = jnp.zeros(shp)
+    return chem
+
+
+def test_movesect_conserves_and_moves_grown_particles():
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem.mosaic import bins as mbins
+    from wrfchem_arc_interactions_tpu.chem.mosaic import movesect
+
+    nbin = 4
+    grid = mbins.make_bins(nbin)
+    chem = _bins_state(nbin)
+    # bin 1 particles grown by condensation far beyond the bin-1 range:
+    # mean volume equals the bin-2 center -> the whole section must move
+    num = 1e9
+    v_target = np.pi / 6.0 * grid.d_center[1] ** 3          # bin-2 center
+    mass_ug = v_target * num * mbins.DENSITY["so4"] * 1e9
+    chem["chem_so4_a01"] = jnp.full((2, 2, 3), mass_ug)
+    chem["chem_num_a01"] = jnp.full((2, 2, 3), num)
+    # bin 3 stays put (mean volume at its own center)
+    v3 = np.pi / 6.0 * grid.d_center[2] ** 3
+    chem["chem_oc_a03"] = jnp.full((2, 2, 3), v3 * num * mbins.DENSITY["oc"] * 1e9)
+    chem["chem_num_a03"] = jnp.full((2, 2, 3), num)
+
+    out = movesect.remap(chem, nbin)
+    # conservation of total mass and number
+    for s in ("so4", "oc", "num"):
+        tot_in = sum(np.asarray(chem[f"chem_{s}_a{b:02d}"]).sum()
+                     for b in range(1, nbin + 1))
+        tot_out = sum(np.asarray(out[f"chem_{s}_a{b:02d}"]).sum()
+                      for b in range(1, nbin + 1))
+        np.testing.assert_allclose(tot_out, tot_in, rtol=1e-6, err_msg=s)
+    # the grown section moved 1 -> 2
+    assert float(out["chem_so4_a01"].max()) == 0.0
+    assert float(out["chem_so4_a02"].min()) > 0.0
+    assert float(out["chem_num_a02"].min()) >= num * 0.999
+    # the stationary section stayed
+    assert float(out["chem_oc_a03"].min()) > 0.0
+    assert float(out["chem_oc_a04"].max()) == 0.0
+
+
+def test_mesa_phase_state_gates_water():
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem.mosaic import thermo
+
+    nbin = 4
+    chem = _bins_state(nbin, shp=(3,))
+    chem["chem_so4_a01"] = jnp.full((3,), 5.0)   # ammonium-sulfate-like bin
+    chem["chem_nh4_a01"] = jnp.full((3,), 1.9)
+    rh = jnp.asarray([0.30, 0.70, 0.95])
+    out = thermo.water_uptake(chem, rh, nbin)
+    w = np.asarray(out["chem_water_a01"])
+    assert w[0] == 0.0, "solid below the mutual DRH must carry no water"
+    assert w[2] > 0.0, "deliquesced bin must take up water"
+    assert w[2] > w[1], "water grows with RH"

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from wrfchem_arc_interactions_tpu.chem import aux, gas, optics
-from wrfchem_arc_interactions_tpu.chem.mosaic import coag, nucleation, thermo
+from wrfchem_arc_interactions_tpu.chem.mosaic import (
+    coag, movesect, nucleation, thermo,
+)
 from wrfchem_arc_interactions_tpu.config import Config
 from wrfchem_arc_interactions_tpu.config.namelist import ChemOpt
 from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
@@ -94,6 +96,8 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
         chem = nucleation.nucleate(chem, rho_air, rh, nbin, dt)
         chem = thermo.partition(chem, t_air, rho_air, rh, nbin, dt)
         chem = coag.coagulate(chem, rho_air, nbin, dt)
+        # moving-center bin remap: growth moves particles between sections
+        chem = movesect.remap(chem, nbin)
 
     # 7. wet scavenging
     if ch.wetscav_onoff:

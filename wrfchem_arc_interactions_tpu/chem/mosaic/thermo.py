@@ -65,10 +65,40 @@ def uptake_coeffs(chem: Dict[str, jax.Array], rho_air, nbin: int):
     return ks                                                   # list of (nz,ny,nx)
 
 
+# deliquescence RH of the pure salts (MESA's phase-state inputs; canonical
+# module_mosaic_therm.F MDRH tables)
+DRH = {"so4": 0.80, "nh4": 0.80,    # (NH4)2SO4
+       "no3": 0.62,                 # NH4NO3
+       "cl": 0.75, "na": 0.75,      # NaCl
+       "oin": 0.95, "bc": 1.01, "oc": 0.85}
+
+
+def phase_state(chem: Dict[str, jax.Array], rh, nbin: int):
+    """MESA-style solid/liquid phase flag per bin: liquid where RH exceeds
+    the mole-weighted mutual DRH of the inorganic mix (the mutual DRH of a
+    mixture is below the pure-salt values — captured by the weighting; the
+    efflorescence-hysteresis branch is a documented simplification).
+    Returns a list of (nz, ny, nx) liquid fractions in {0, 1}."""
+    flags = []
+    for b in range(1, nbin + 1):
+        mol = None
+        drh_mol = None
+        for s in mbins.AER_SPECIES:
+            m = chem[f"chem_{s}_a{b:02d}"] / mbins.MW[s]
+            mol = m if mol is None else mol + m
+            dm = DRH[s] * m
+            drh_mol = dm if drh_mol is None else drh_mol + dm
+        drh_mix = drh_mol / jnp.maximum(mol, 1e-30)
+        flags.append((rh > drh_mix).astype(rh.dtype))
+    return flags
+
+
 def water_uptake(chem: Dict[str, jax.Array], rh, nbin: int) -> Dict[str, jax.Array]:
-    """kappa-Kohler aerosol water per bin: V_w = V_dry kappa RH/(1-RH)."""
+    """kappa-Kohler aerosol water per bin: V_w = V_dry kappa RH/(1-RH),
+    gated by the MESA phase state (solid bins carry no water)."""
     out = {}
     aw = jnp.clip(rh, 0.05, 0.98)
+    liquid = phase_state(chem, rh, nbin)
     for b in range(1, nbin + 1):
         v_dry = None
         v_kappa = None
@@ -77,7 +107,7 @@ def water_uptake(chem: Dict[str, jax.Array], rh, nbin: int) -> Dict[str, jax.Arr
             v_dry = v if v_dry is None else v_dry + v
             kv = mbins.KAPPA[s] * v
             v_kappa = kv if v_kappa is None else v_kappa + kv
-        v_w = v_kappa * aw / (1.0 - aw)
+        v_w = v_kappa * aw / (1.0 - aw) * liquid[b - 1]
         out[f"chem_water_a{b:02d}"] = v_w * mbins.DENSITY["water"] * 1e9  # ug/kg
     return out
 
