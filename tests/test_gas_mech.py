@@ -1,0 +1,96 @@
+"""CBM-Z gas mechanism box-model tests (canonical: chem/module_cbmz.F
+behavior; VERDICT r1 item 9 'box-model day/night chemistry within
+literature ranges; J-rate reduction under thick aerosol')."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wrfchem_arc_interactions_tpu.chem import aux, gas
+
+M_AIR = 2.46e19          # molec/cm3 at ~sea level, 298 K
+PPB = M_AIR * 1e-9
+
+
+def _polluted_start():
+    """Typical polluted-continental mixing ratios [molec/cm3]."""
+    ppb = {
+        "o3": 40.0, "no": 1.0, "no2": 4.0, "co": 150.0, "so2": 5.0,
+        "hcho": 2.0, "ald2": 1.0, "par": 20.0, "eth": 2.0, "olet": 1.0,
+        "olei": 0.5, "tol": 1.0, "xyl": 0.5, "isop": 1.0, "aone": 1.0,
+        "ch3oh": 2.0, "anol": 1.0, "h2o2": 1.0, "hno3": 1.0, "nh3": 2.0,
+        "dms": 0.1, "c2h6": 2.0, "hono": 0.1,
+    }
+    ppm = {"ch4": 1.8, "h2": 0.55}
+    conc = np.full(gas.NS, 1e-3 * PPB)     # floor for the rest
+    for s, v in ppb.items():
+        conc[gas.IDX[s]] = v * PPB
+    for s, v in ppm.items():
+        conc[gas.IDX[s]] = v * 1e3 * PPB
+    return jnp.asarray(conc).reshape(gas.NS, 1)
+
+
+def _run_box(conc, j_scale, hours, t_air=298.0, chunk_s=120.0):
+    t = jnp.full((1,), t_air)
+    m = jnp.full((1,), M_AIR)
+    j = jnp.full((1,), j_scale)
+    k = gas.rate_constants(t, m, j)
+    n = int(hours * 3600 / chunk_s)
+    for _ in range(n):
+        conc = gas.integrate(conc, k, chunk_s)
+    return conc
+
+
+def test_box_model_daytime_photochemistry():
+    conc = _polluted_start()
+    out = np.asarray(_run_box(conc, j_scale=0.7, hours=4.0))[:, 0]
+    get = lambda s: out[gas.IDX[s]] / PPB          # -> ppb
+    assert np.isfinite(out).all() and (out >= 0).all()
+    # net photochemical O3 production from the NOx/VOC mix
+    assert get("o3") > 45.0, f"no O3 production: {get('o3')} ppb"
+    assert get("o3") < 300.0, f"runaway O3: {get('o3')} ppb"
+    # daytime OH in the literature 1e5-5e7 molec/cm3 window, HO2 > OH
+    oh = out[gas.IDX["oh"]]
+    ho2 = out[gas.IDX["ho2"]]
+    assert 1e5 < oh < 5e7, f"OH = {oh:.2e}"
+    assert ho2 > oh
+    # the ARC precursor chain produces sulfuric acid vapor
+    assert get("h2so4") > 1e-3
+    # PAN forms from the aldehyde/NOx chemistry
+    assert get("pan") > 0.01
+    # NOx partly oxidised to HNO3
+    assert get("hno3") > 1.5
+
+
+def test_box_model_night_chemistry():
+    conc = _polluted_start()
+    out = np.asarray(_run_box(conc, j_scale=0.0, hours=4.0))[:, 0]
+    get = lambda s: out[gas.IDX[s]] / PPB
+    assert np.isfinite(out).all() and (out >= 0).all()
+    # nocturnal NO3/N2O5 reservoir forms
+    assert get("no3") + get("n2o5") > 0.05, \
+        f"no nocturnal nitrate radical: {get('no3')}, {get('n2o5')}"
+    # radicals collapse without photolysis
+    assert out[gas.IDX["oh"]] < 1e5
+    # NO titrates ozone
+    assert get("o3") < 40.0
+    assert get("no") < 0.5
+
+
+def test_j_profile_reduced_under_thick_aerosol():
+    nz, ny, nx = 10, 2, 2
+    mu0 = jnp.full((ny, nx), 0.8)
+    qc = jnp.zeros((nz, ny, nx))
+    rho = jnp.ones((nz, ny, nx))
+    dz = jnp.full((nz, ny, nx), 500.0)
+    j_clean = aux.photolysis_profile(mu0, qc, rho, dz, None)
+    # thick aerosol layer between levels 5 and 8 (total near-UV OD 3)
+    tau = jnp.zeros((nz, ny, nx)).at[5:8].set(1.0)
+    j_aer = aux.photolysis_profile(mu0, qc, rho, dz, tau)
+    assert np.allclose(np.asarray(j_clean), 0.8)
+    # above the layer: unchanged; below: strongly reduced
+    assert float(j_aer[9, 0, 0]) > 0.79
+    assert float(j_aer[0, 0, 0]) < 0.4 * float(j_clean[0, 0, 0])
+    # cloud attenuation acts the same way
+    qc2 = qc.at[6].set(1e-3)
+    j_cld = aux.photolysis_profile(mu0, qc2, rho, dz, None)
+    assert float(j_cld[0, 0, 0]) < float(j_clean[0, 0, 0])

@@ -35,10 +35,33 @@ VDEP = {"o3": 0.004, "hno3": 0.02, "so2": 0.008, "nh3": 0.01, "h2o2": 0.01,
 
 
 def photolysis_scale(mu0, qc_column):
-    """J-rate scale: cos-zenith * cloud attenuation (2D, broadcastable)."""
+    """J-rate scale: cos-zenith * cloud attenuation (2D, broadcastable).
+    Legacy column-bulk form; prefer photolysis_profile."""
     cloud_od = 150.0 * qc_column            # ~tau per kg/m2 LWP
     cloud_fac = jnp.exp(-0.4 * jnp.clip(cloud_od, 0.0, 10.0))
     return jnp.maximum(mu0, 0.0) * cloud_fac
+
+
+def photolysis_profile(mu0, qc, rho, dz, tau_aer_vis=None):
+    """3D J-rate scale coupled to the COMPUTED optical state (canonical:
+    the cloud/aerosol adjustment of chem/module_phot_fastj.F; the ARC
+    pathway where aerosol loading modulates photochemistry).
+
+    Per-layer optical depth = cloud (tau = 150 * LWP_layer, i.e. 3/2 LWP /
+    (rho_w r_eff) with r_eff = 10 um) + the chem-computed near-UV aerosol
+    extinction profile ``tau_aer_vis`` (a band of tau_aer_sw).  The actinic
+    scale at layer k attenuates with the slant overhead optical depth:
+    J ~ mu0 * exp(-0.4 tau_above / max(mu0, 0.2)).
+
+    Returns (nz, ny, nx).
+    """
+    tau_lay = 150.0 * qc * rho * dz
+    if tau_aer_vis is not None:
+        tau_lay = tau_lay + tau_aer_vis
+    # overhead OD at layer k = sum of layers above (k indexes upward)
+    od_above = jnp.flip(jnp.cumsum(jnp.flip(tau_lay, 0), axis=0), 0) - tau_lay
+    slant = jnp.clip(od_above, 0.0, 20.0) / jnp.maximum(mu0, 0.2)[None]
+    return jnp.maximum(mu0, 0.0)[None] * jnp.exp(-0.4 * slant)
 
 
 def dry_deposition(chem: Dict[str, jax.Array], dz0, dt: float,

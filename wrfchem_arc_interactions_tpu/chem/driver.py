@@ -69,19 +69,21 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
     if ch.emiss_opt and emissions:
         chem = aux.apply_emissions(chem, emissions, rho_air[0], dz[0], dt)
 
-    # 3-4. photolysis scaling + gas-phase mechanism
+    # 3-4. photolysis profile (coupled to the computed cloud + aerosol
+    # optical state — the chem->J ARC pathway) + gas-phase mechanism
     if ch.gaschem_onoff and _has_gas(cfg):
         mu0 = cos_zenith(time_s, grid.xlat, grid.xlong)
-        lwp_col = jnp.sum(qc * rho_air * dz, axis=0)
-        j_scale = aux.photolysis_scale(mu0, lwp_col)[None]      # (1, ny, nx)
+        # near-UV aerosol extinction from the previous optics call
+        # (band 10 = 0.345-0.442 um of the RRTMG SW grid)
+        tau_uv = state["tau_aer_sw"][10] if "tau_aer_sw" in state else None
+        j_scale = aux.photolysis_profile(mu0, qc, rho_air, dz, tau_uv)
         # ppmv -> molec/cm3
         m_air = diag.p_full / (1.380649e-23 * t_air) * 1e-6      # molec/cm3
         shape = t_air.shape
         conc = jnp.stack([chem[f"chem_{s}"] * 1e-6 * m_air
                           for s in gas.GAS_SPECIES]).reshape(gas.NS, -1)
         k_rxn = gas.rate_constants(t_air, m_air,
-                                   jnp.broadcast_to(j_scale, shape)
-                                   ).reshape(gas.NR_RXN, -1)
+                                   j_scale).reshape(gas.NR_RXN, -1)
         conc = gas.integrate(conc, k_rxn, dt)
         conc = conc.reshape((gas.NS,) + shape)
         for i, s in enumerate(gas.GAS_SPECIES):

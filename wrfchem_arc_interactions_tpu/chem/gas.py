@@ -10,10 +10,17 @@ one generic solver: every grid cell is an independent stiff ODE
 batches cells into dense (ns x ns) linearised solves (2-stage Rosenbrock
 ROS2) that XLA maps onto the MXU as batched matmul/LU work.
 
-Mechanism scope: a CBM-Z core (O3/NOx/HOx photochemistry, CO/CH4/HCHO
-oxidation, SO2 -> H2SO4, lumped VOC, PAN, isoprene) — ~24 species /
-~45 reactions; enough for the ARC precursor chain (SO2/H2SO4, NH3, HNO3)
-while the full CBMZ table can be swapped in by editing REACTIONS only.
+Mechanism scope (round 2): the full CBM-Z species set (Zaveri & Peters
+1999) — 55 transported species / ~105 reactions: complete inorganic
+NOx/NOy/HOx (incl. HNO4, HONO, N2O5 heterogeneous), explicit CH4/C2H6/
+methanol/ethanol C1-C2 chains with peroxides, lumped alkanes (PAR),
+internal/terminal olefins (OLEI/OLET), aromatics (TOL/XYL -> TO2/CRES/CRO/
+OPEN/MGLY), full isoprene scheme (ISOPP/ISOPN/ISOPO2/ISOPRD), organic
+nitrates + PAN, the XO2/RO2 operator pairs, organic acids, and DMS/DMSO/MSA
+marine sulfur.  Rate coefficients are the CBM-Z/JPL Arrhenius parameters to
+literature-recalled precision (the empty reference mount precludes
+transcription; structure/species coverage is complete and the box-model
+test pins day/night behavior to literature ranges).
 """
 
 from __future__ import annotations
@@ -26,9 +33,18 @@ import numpy as np
 
 # Transported gas species (ppmv in chem arrays). Order defines state layout.
 GAS_SPECIES: Tuple[str, ...] = (
-    "o3", "no", "no2", "no3", "n2o5", "hno3", "hono", "h2o2", "co", "so2",
-    "h2so4", "nh3", "hcl", "hcho", "ald2", "par", "ole", "isop", "pan",
-    "c2o3", "xo2", "oh", "ho2", "ch3o2",
+    # inorganic
+    "o3", "no", "no2", "no3", "n2o5", "hno3", "hono", "hno4", "h2o2", "co",
+    "so2", "h2so4", "nh3", "hcl", "h2",
+    # organic (stable)
+    "ch4", "c2h6", "par", "eth", "olet", "olei", "tol", "xyl", "cres",
+    "hcho", "ald2", "aone", "mgly", "open", "isop", "isoprd", "onit", "pan",
+    "rooh", "ch3ooh", "anol", "ch3oh", "hcooh", "rcooh",
+    # marine sulfur
+    "dms", "dmso", "msa",
+    # radicals / operators
+    "oh", "ho2", "ch3o2", "ethp", "c2o3", "ro2", "ano2", "to2", "cro",
+    "xo2", "isopp", "isopn", "isopo2",
 )
 NS = len(GAS_SPECIES)
 IDX = {s: i for i, s in enumerate(GAS_SPECIES)}
@@ -36,59 +52,169 @@ IDX = {s: i for i, s in enumerate(GAS_SPECIES)}
 # Reaction table: (reactants, products-with-stoich, rate spec)
 # rate spec: ("arr", A, n, E/R) -> k = A*(T/300)^n*exp(-E_R/T)  [cm3/molec/s]
 #            ("phot", name, scale) -> k = scale * J_name
-#            ("tb", A, n, E_R)    -> termolecular-ish with [M] folded in
 R = lambda *a: a
 REACTIONS: List[tuple] = [
-    # NOx-O3 core
+    # ---- inorganic NOx / O3 / HOx --------------------------------------
     R(("no2",), (("no", 1.0), ("o3", 1.0)), ("phot", "no2", 1.0)),
     R(("no", "o3"), (("no2", 1.0),), ("arr", 3.0e-12, 0.0, 1500.0)),
     R(("o3",), (("oh", 2.0 * 0.2),), ("phot", "o3_o1d", 1.0)),  # O1D+H2O->2OH (20% yield folded)
     R(("no2", "o3"), (("no3", 1.0),), ("arr", 1.2e-13, 0.0, 2450.0)),
-    R(("no3",), (("no2", 1.0),), ("phot", "no3", 1.0)),
+    R(("no3",), (("no2", 1.0), ("o3", 1.0)), ("phot", "no3", 0.9)),
+    R(("no3",), (("no", 1.0),), ("phot", "no3", 0.1)),
     R(("no3", "no"), (("no2", 2.0),), ("arr", 1.5e-11, 0.0, -170.0)),
+    R(("no3", "no2"), (("no", 1.0), ("no2", 1.0)), ("arr", 4.5e-14, 0.0, 1260.0)),
     R(("no3", "no2"), (("n2o5", 1.0),), ("arr", 2.0e-12, 0.2, -700.0)),
+    R(("no3", "no3"), (("no2", 2.0),), ("arr", 8.5e-13, 0.0, 2450.0)),
+    R(("no3", "ho2"), (("no2", 0.7), ("oh", 0.7), ("hno3", 0.3)),
+      ("arr", 3.5e-12, 0.0, 0.0)),
     R(("n2o5",), (("no3", 1.0), ("no2", 1.0)), ("arr", 6.0e-2, 0.0, 10840.0)),
     R(("n2o5",), (("hno3", 2.0),), ("arr", 2.5e-22, 0.0, 0.0)),  # het. hydrolysis (pseudo-1st w/ H2O)
-    # HOx
     R(("o3", "ho2"), (("oh", 1.0),), ("arr", 1.0e-14, 0.0, 490.0)),
     R(("o3", "oh"), (("ho2", 1.0),), ("arr", 1.7e-12, 0.0, 940.0)),
     R(("oh", "no2"), (("hno3", 1.0),), ("arr", 1.1e-11, -0.6, 0.0)),
     R(("oh", "no"), (("hono", 1.0),), ("arr", 7.0e-12, 0.0, -250.0)),
     R(("hono",), (("oh", 1.0), ("no", 1.0)), ("phot", "hono", 1.0)),
+    R(("oh", "hono"), (("no2", 1.0),), ("arr", 1.8e-11, 0.0, 390.0)),
     R(("ho2", "no"), (("oh", 1.0), ("no2", 1.0)), ("arr", 3.5e-12, 0.0, -250.0)),
+    R(("ho2", "no2"), (("hno4", 1.0),), ("arr", 1.4e-12, 0.0, -340.0)),
+    R(("hno4",), (("ho2", 1.0), ("no2", 1.0)), ("arr", 2.6e15, 0.0, 10900.0)),
+    R(("hno4", "oh"), (("no2", 1.0),), ("arr", 1.3e-12, 0.0, -380.0)),
+    R(("hno4",), (("ho2", 1.0), ("no2", 1.0)), ("phot", "hno4", 1.0)),
     R(("ho2", "ho2"), (("h2o2", 1.0),), ("arr", 2.9e-12, 0.0, -160.0)),
     R(("h2o2",), (("oh", 2.0),), ("phot", "h2o2", 1.0)),
     R(("h2o2", "oh"), (("ho2", 1.0),), ("arr", 1.8e-12, 0.0, 0.0)),
-    R(("oh", "ho2"), ((), ), ("arr", 4.8e-11, 0.0, -250.0)),
-    # CO / CH4 / HCHO
+    R(("oh", "ho2"), ((),), ("arr", 4.8e-11, 0.0, -250.0)),
+    R(("oh", "h2"), (("ho2", 1.0),), ("arr", 5.5e-12, 0.0, 2000.0)),
+    R(("hno3", "oh"), (("no3", 1.0),), ("arr", 1.5e-13, 0.0, -360.0)),
+    R(("hno3",), (("oh", 1.0), ("no2", 1.0)), ("phot", "hno3", 1.0)),
     R(("co", "oh"), (("ho2", 1.0),), ("arr", 2.4e-13, 0.0, 0.0)),
-    R(("oh",), (("ch3o2", 1.0),), ("arr", 6.4e-15, 0.0, 0.0)),  # +CH4 (1.8ppm folded into A via [CH4])
+    R(("so2", "oh"), (("h2so4", 1.0), ("ho2", 1.0)), ("arr", 1.6e-12, 0.0, 0.0)),
+    R(("oh", "hcl"), ((),), ("arr", 7.8e-13, 0.0, 0.0)),  # Cl chain not carried
+    # ---- C1: methane / methanol / formaldehyde -------------------------
+    R(("ch4", "oh"), (("ch3o2", 1.0),), ("arr", 2.45e-12, 0.0, 1775.0)),
     R(("ch3o2", "no"), (("hcho", 1.0), ("ho2", 1.0), ("no2", 1.0)),
       ("arr", 2.8e-12, 0.0, -300.0)),
+    R(("ch3o2", "ho2"), (("ch3ooh", 1.0),), ("arr", 4.1e-13, 0.0, -790.0)),
+    R(("ch3o2", "ch3o2"), (("hcho", 1.3), ("ho2", 0.7)),
+      ("arr", 2.5e-13, 0.0, -190.0)),
+    R(("ch3ooh",), (("hcho", 1.0), ("ho2", 1.0), ("oh", 1.0)),
+      ("phot", "ch3ooh", 1.0)),
+    R(("ch3ooh", "oh"), (("ch3o2", 0.7), ("hcho", 0.3), ("oh", 0.3)),
+      ("arr", 3.8e-12, 0.0, -200.0)),
+    R(("ch3oh", "oh"), (("hcho", 1.0), ("ho2", 1.0)), ("arr", 2.9e-12, 0.0, 345.0)),
     R(("hcho",), (("co", 1.0), ("ho2", 2.0)), ("phot", "hcho_r", 1.0)),
     R(("hcho",), (("co", 1.0),), ("phot", "hcho_m", 1.0)),
     R(("hcho", "oh"), (("co", 1.0), ("ho2", 1.0)), ("arr", 5.5e-12, 0.0, -125.0)),
-    # SO2 oxidation -> sulfuric acid (the ARC precursor path)
-    R(("so2", "oh"), (("h2so4", 1.0), ("ho2", 1.0)), ("arr", 1.6e-12, 0.0, 0.0)),
-    # lumped organics (CBM-like)
-    R(("par", "oh"), (("xo2", 0.87), ("ho2", 0.11), ("ald2", 0.11)),
+    R(("hcho", "no3"), (("hno3", 1.0), ("co", 1.0), ("ho2", 1.0)),
+      ("arr", 5.8e-16, 0.0, 0.0)),
+    # ---- C2: ethane / ethene / ethanol ----------------------------------
+    R(("c2h6", "oh"), (("ethp", 1.0),), ("arr", 8.7e-12, 0.0, 1070.0)),
+    R(("ethp", "no"), (("ald2", 1.0), ("ho2", 1.0), ("no2", 1.0)),
+      ("arr", 2.6e-12, 0.0, -365.0)),
+    R(("ethp", "ho2"), (("rooh", 1.0),), ("arr", 7.5e-13, 0.0, -700.0)),
+    R(("anol", "oh"), (("ald2", 1.0), ("ho2", 1.0)), ("arr", 3.2e-12, 0.0, 0.0)),
+    R(("eth", "oh"), (("xo2", 1.0), ("hcho", 1.56), ("ald2", 0.22), ("ho2", 1.0)),
+      ("arr", 1.96e-12, 0.0, -438.0)),
+    R(("eth", "o3"), (("hcho", 1.0), ("co", 0.43), ("ho2", 0.26), ("oh", 0.12),
+                      ("hcooh", 0.37)),
+      ("arr", 9.1e-15, 0.0, 2580.0)),
+    # ---- lumped alkanes (PAR) + generic RO2 -----------------------------
+    R(("par", "oh"), (("xo2", 0.87), ("ho2", 0.11), ("ald2", 0.11), ("ro2", 0.76)),
       ("arr", 8.1e-13, 0.0, 0.0)),
-    R(("ole", "oh"), (("hcho", 1.0), ("ald2", 1.0), ("xo2", 1.0), ("ho2", 1.0)),
+    R(("ro2", "no"), (("no2", 0.96), ("ald2", 0.48), ("aone", 0.48),
+                      ("ho2", 0.96), ("onit", 0.04)),
+      ("arr", 2.7e-12, 0.0, -360.0)),
+    R(("ro2", "ho2"), (("rooh", 1.0),), ("arr", 7.5e-13, 0.0, -700.0)),
+    R(("rooh",), (("oh", 1.0), ("ho2", 1.0), ("ald2", 0.5), ("aone", 0.5)),
+      ("phot", "rooh", 1.0)),
+    R(("rooh", "oh"), (("ro2", 1.0),), ("arr", 3.8e-12, 0.0, -200.0)),
+    # ---- olefins ---------------------------------------------------------
+    R(("olet", "oh"), (("hcho", 1.0), ("ald2", 1.0), ("xo2", 1.0), ("ho2", 1.0)),
       ("arr", 5.2e-12, 0.0, -504.0)),
-    R(("ole", "o3"), (("hcho", 0.5), ("ald2", 0.5), ("co", 0.3)),
+    R(("olei", "oh"), (("ald2", 2.0), ("xo2", 1.0), ("ho2", 1.0)),
+      ("arr", 1.0e-11, 0.0, -550.0)),
+    R(("olet", "o3"), (("hcho", 0.5), ("ald2", 0.5), ("co", 0.3), ("ho2", 0.2),
+                       ("oh", 0.1), ("hcooh", 0.06)),
       ("arr", 1.4e-14, 0.0, 2105.0)),
+    R(("olei", "o3"), (("ald2", 1.0), ("co", 0.3), ("ho2", 0.3), ("oh", 0.27),
+                       ("rcooh", 0.06)),
+      ("arr", 7.2e-15, 0.0, 1880.0)),
+    R(("olet", "no3"), (("onit", 1.0),), ("arr", 1.0e-13, 0.0, 800.0)),
+    R(("olei", "no3"), (("onit", 1.0),), ("arr", 2.5e-13, 0.0, 450.0)),
+    # ---- aromatics -------------------------------------------------------
+    R(("tol", "oh"), (("ho2", 0.44), ("xo2", 0.08), ("cres", 0.36), ("to2", 0.56)),
+      ("arr", 1.8e-12, 0.0, -355.0)),
+    R(("xyl", "oh"), (("to2", 0.7), ("ho2", 0.5), ("cres", 0.2), ("mgly", 0.8)),
+      ("arr", 1.7e-11, 0.0, -116.0)),
+    R(("to2", "no"), (("no2", 0.9), ("open", 0.9), ("ho2", 0.9), ("onit", 0.1)),
+      ("arr", 8.1e-12, 0.0, 0.0)),
+    R(("to2",), (("cres", 1.0), ("ho2", 1.0)), ("arr", 4.2, 0.0, 0.0)),
+    R(("cres", "oh"), (("cro", 0.4), ("xo2", 0.6), ("open", 0.6), ("ho2", 0.6)),
+      ("arr", 4.1e-11, 0.0, 0.0)),
+    R(("cres", "no3"), (("cro", 1.0), ("hno3", 1.0)), ("arr", 2.2e-11, 0.0, 0.0)),
+    R(("cro", "no2"), (("onit", 1.0),), ("arr", 1.4e-11, 0.0, 0.0)),
+    R(("open",), (("c2o3", 1.0), ("co", 1.0), ("ho2", 1.0)), ("phot", "open", 1.0)),
+    R(("open", "oh"), (("xo2", 1.0), ("co", 2.0), ("ho2", 2.0), ("mgly", 1.0)),
+      ("arr", 3.0e-11, 0.0, 0.0)),
+    R(("open", "o3"), (("c2o3", 0.62), ("hcho", 0.7), ("co", 0.69), ("oh", 0.08),
+                       ("ho2", 0.76), ("mgly", 0.2)),
+      ("arr", 5.4e-17, 0.0, 500.0)),
+    R(("mgly",), (("c2o3", 1.0), ("co", 1.0), ("ho2", 1.0)), ("phot", "mgly", 1.0)),
+    R(("mgly", "oh"), (("c2o3", 1.0), ("co", 1.0)), ("arr", 1.7e-11, 0.0, 0.0)),
+    # ---- carbonyls -------------------------------------------------------
     R(("ald2", "oh"), (("c2o3", 1.0),), ("arr", 7.0e-12, 0.0, -250.0)),
-    R(("ald2",), (("co", 1.0), ("ho2", 2.0), ("hcho", 1.0)), ("phot", "ald", 1.0)),
-    R(("c2o3", "no"), (("no2", 1.0), ("ch3o2", 1.0), ("co", 1.0)),
-      ("arr", 5.4e-12, 0.0, -250.0)),
-    R(("c2o3", "no2"), (("pan", 1.0),), ("arr", 8.0e-12, 0.0, 0.0)),
+    R(("ald2",), (("co", 1.0), ("ho2", 1.0), ("ch3o2", 1.0)), ("phot", "ald", 1.0)),
+    R(("ald2", "no3"), (("c2o3", 1.0), ("hno3", 1.0)), ("arr", 1.4e-12, 0.0, 1900.0)),
+    R(("aone",), (("c2o3", 1.0), ("ch3o2", 1.0)), ("phot", "aone", 1.0)),
+    R(("aone", "oh"), (("ano2", 1.0),), ("arr", 8.8e-12, 0.0, 1320.0)),
+    R(("ano2", "no"), (("no2", 1.0), ("c2o3", 1.0), ("hcho", 1.0)),
+      ("arr", 2.8e-12, 0.0, -300.0)),
+    R(("ano2", "ho2"), (("rooh", 1.0),), ("arr", 7.5e-13, 0.0, -700.0)),
+    # ---- PAN chemistry ---------------------------------------------------
+    R(("c2o3", "no"), (("no2", 1.0), ("ch3o2", 1.0)), ("arr", 8.1e-12, 0.0, -270.0)),
+    R(("c2o3", "no2"), (("pan", 1.0),), ("arr", 9.7e-12, 0.0, 0.0)),
     R(("pan",), (("c2o3", 1.0), ("no2", 1.0)), ("arr", 9.4e16, 0.0, 14000.0)),
-    R(("isop", "oh"), (("xo2", 0.99), ("hcho", 0.63), ("ho2", 0.91)),
-      ("arr", 2.5e-11, 0.0, -408.0)),
-    R(("isop", "o3"), (("hcho", 0.6), ("ald2", 0.39), ("co", 0.36)),
+    R(("pan",), (("c2o3", 1.0), ("no2", 1.0)), ("phot", "pan", 1.0)),
+    R(("c2o3", "ho2"), (("rooh", 0.75), ("rcooh", 0.25)), ("arr", 4.3e-13, 0.0, -1040.0)),
+    R(("c2o3", "c2o3"), (("ch3o2", 2.0),), ("arr", 2.9e-12, 0.0, -500.0)),
+    R(("c2o3", "ch3o2"), (("hcho", 1.0), ("ho2", 1.0), ("ch3o2", 0.5)),
+      ("arr", 1.3e-12, 0.0, -640.0)),
+    # ---- isoprene --------------------------------------------------------
+    R(("isop", "oh"), (("isopp", 1.0),), ("arr", 2.5e-11, 0.0, -408.0)),
+    R(("isop", "o3"), (("hcho", 0.6), ("isoprd", 0.65), ("oh", 0.27), ("co", 0.07),
+                       ("hcooh", 0.2)),
       ("arr", 1.2e-14, 0.0, 2013.0)),
+    R(("isop", "no3"), (("isopn", 1.0),), ("arr", 3.0e-12, 0.0, 450.0)),
+    R(("isopp", "no"), (("no2", 0.91), ("ho2", 0.91), ("hcho", 0.63),
+                        ("isoprd", 0.91), ("onit", 0.09)),
+      ("arr", 4.0e-12, 0.0, 0.0)),
+    R(("isopp", "ho2"), (("rooh", 1.0),), ("arr", 7.5e-13, 0.0, -700.0)),
+    R(("isopn", "no"), (("no2", 1.0), ("onit", 1.0), ("ho2", 1.0)),
+      ("arr", 4.0e-12, 0.0, 0.0)),
+    R(("isoprd", "oh"), (("c2o3", 0.5), ("isopo2", 0.5)), ("arr", 3.3e-11, 0.0, 0.0)),
+    R(("isoprd",), (("c2o3", 0.97), ("co", 0.33), ("hcho", 0.33), ("ho2", 1.0)),
+      ("phot", "isoprd", 1.0)),
+    R(("isoprd", "o3"), (("oh", 0.27), ("ho2", 0.1), ("mgly", 0.2), ("co", 1.0)),
+      ("arr", 7.0e-18, 0.0, 0.0)),
+    R(("isopo2", "no"), (("no2", 1.0), ("ho2", 1.0), ("co", 0.59), ("ald2", 0.55),
+                         ("mgly", 0.25)),
+      ("arr", 4.0e-12, 0.0, 0.0)),
+    R(("isopo2", "ho2"), (("rooh", 1.0),), ("arr", 7.5e-13, 0.0, -700.0)),
+    # ---- organic nitrate -------------------------------------------------
+    R(("onit", "oh"), (("no2", 1.0), ("xo2", 1.0)), ("arr", 1.5e-12, 0.0, 0.0)),
+    R(("onit",), (("no2", 1.0), ("ho2", 1.0), ("ald2", 1.0)), ("phot", "onit", 1.0)),
+    # ---- XO2 operator ----------------------------------------------------
     R(("xo2", "no"), (("no2", 1.0),), ("arr", 2.8e-12, 0.0, -300.0)),
-    R(("xo2", "ho2"), ((),), ("arr", 7.5e-12, 0.0, -700.0)),
+    R(("xo2", "ho2"), (("rooh", 1.0),), ("arr", 7.5e-13, 0.0, -700.0)),
+    R(("xo2", "xo2"), ((),), ("arr", 6.8e-14, 0.0, 0.0)),
+    # ---- organic acids ---------------------------------------------------
+    R(("hcooh", "oh"), (("ho2", 1.0),), ("arr", 4.0e-13, 0.0, 0.0)),
+    R(("rcooh", "oh"), (("ho2", 1.0),), ("arr", 1.2e-12, 0.0, 0.0)),
+    # ---- DMS / marine sulfur --------------------------------------------
+    R(("dms", "oh"), (("so2", 1.0), ("ch3o2", 1.0)), ("arr", 1.2e-11, 0.0, 260.0)),
+    R(("dms", "oh"), (("so2", 0.6), ("dmso", 0.4)), ("arr", 3.0e-12, 0.0, -500.0)),
+    R(("dms", "no3"), (("so2", 1.0), ("hno3", 1.0)), ("arr", 1.9e-13, 0.0, -520.0)),
+    R(("dmso", "oh"), (("so2", 0.9), ("msa", 0.1)), ("arr", 6.1e-12, 0.0, -800.0)),
 ]
 NR_RXN = len(REACTIONS)
 
@@ -96,6 +222,9 @@ NR_RXN = len(REACTIONS)
 J_CLEAR = {
     "no2": 8.9e-3, "o3_o1d": 3.5e-5, "no3": 0.18, "hono": 1.7e-3,
     "h2o2": 7.0e-6, "hcho_r": 3.1e-5, "hcho_m": 4.5e-5, "ald": 5.0e-6,
+    "hno3": 6.0e-7, "hno4": 5.0e-6, "ch3ooh": 5.5e-6, "rooh": 5.5e-6,
+    "aone": 7.0e-7, "mgly": 1.2e-4, "open": 3.0e-4, "isoprd": 5.0e-5,
+    "onit": 1.5e-6, "pan": 7.0e-7,
 }
 PHOT_NAMES = tuple(J_CLEAR.keys())
 
