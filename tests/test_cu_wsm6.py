@@ -136,3 +136,52 @@ def test_external_mode_filter_stable():
     # filter is a small correction, not a different answer
     scale = np.abs(out["off"]).max() + 1e-12
     assert np.abs(out["on"] - out["off"]).max() < 0.2 * scale
+
+
+# ---------------------------------------------------------------------------
+# KF-style mass-flux cumulus (round 2; canonical phys/module_cu_kfeta.F)
+# ---------------------------------------------------------------------------
+
+def test_kf_triggers_and_rains_on_unstable_sounding():
+    from wrfchem_arc_interactions_tpu.physics.cumulus_kf import kf_mass_flux
+    theta, qv, p, rho, dz = _unstable_sounding()
+    tend, precip = kf_mass_flux(theta, qv, p, rho, dz, 10.0)
+    precip = np.asarray(precip)
+    dth, dqv = np.asarray(tend["th"]), np.asarray(tend["qv"])
+    assert np.isfinite(precip).all() and np.isfinite(dth).all() \
+        and np.isfinite(dqv).all()
+    assert (precip > 0).all(), "unstable moist column must convect"
+    # deep heating: net warming somewhere in the cloud layer, tendencies
+    # bounded (closure caps the mass flux)
+    assert dth.max() > 0.0
+    assert np.abs(dth).max() < 0.05          # K/s
+    # column moisture decreases net of the subcloud evaporation
+    dm = np.asarray(rho) * np.asarray(dz)
+    assert (dm * dqv).sum(axis=0).max() < 0.0
+
+
+def test_kf_inactive_on_stable_dry_column():
+    from wrfchem_arc_interactions_tpu.physics.cumulus_kf import kf_mass_flux
+    theta, qv, p, rho, dz = _unstable_sounding()
+    theta = theta + jnp.arange(theta.shape[0]).reshape(-1, 1, 1) * 3.0
+    qv = qv * 0.05
+    tend, precip = kf_mass_flux(theta, qv, p, rho, dz, 10.0)
+    assert float(jnp.abs(precip).max()) == 0.0
+    assert float(jnp.abs(tend["th"]).max()) == 0.0
+
+
+def test_kf_integration_stable():
+    """Coarse-grid run with KF + WSM6 active end-to-end."""
+    cfg = Config(
+        domain=DomainConfig(nx=24, ny=4, nz=20, dx=10000.0, dy=10000.0,
+                            ztop=16000.0, p_top=10000.0),
+        time_control=TimeControl(dt=30.0),
+        physics=PhysicsConfig(mp_physics=MPScheme.WSM6,
+                              cu_physics=CUScheme.KF),
+        dynamics=DynamicsConfig(kvdif=30.0),
+    )
+    grid, state = ideal.make_case(cfg, "squall2d_x", bubble_amp=3.0)
+    sim = Simulation(cfg, grid, state, check_nans=True)
+    sim.run_seconds(300.0)
+    assert np.isfinite(np.asarray(sim.state["w"])).all()
+    assert np.asarray(sim.state["rainc"]).min() >= 0.0

@@ -58,6 +58,7 @@ class PBLScheme(str, enum.Enum):
 class CUScheme(str, enum.Enum):
     NONE = "none"                  # convection-permitting (cu_physics=0)
     BMJ = "bmj"                    # Betts-Miller-Janjic adjustment (cu_physics=2)
+    KF = "kf"                      # Kain-Fritsch-style mass flux (cu_physics=1)
 
 
 class SFScheme(str, enum.Enum):

@@ -53,18 +53,23 @@ def pre_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         for k, v in pbl_tend.items():
             tend[k] = tend.get(k, 0.0) + v
 
-    if phys.cu_physics == CUScheme.BMJ:
+    if phys.cu_physics != CUScheme.NONE:
         # cumulus_driver slot of first_rk_step_part1 (SURVEY.md §3.2):
         # tendencies held through the RK stages like the other physics.
-        from wrfchem_arc_interactions_tpu.physics.cumulus import bmj_adjust
         from wrfchem_arc_interactions_tpu.utils import constants as cc
         diag = diagnose(state, grid, moist)
         pii = (diag.p_full / cc.P0) ** cc.RCP
         rho = 1.0 / (diag.alpha_d * diag.eps_ratio)
         ph_full = grid.phb + state["ph"]
         dz = (ph_full[1:] - ph_full[:-1]) / cc.G
-        cu_tend, precip = bmj_adjust(diag.theta, state["qv"], diag.p_full,
-                                     rho, dz, dt)
+        if phys.cu_physics == CUScheme.BMJ:
+            from wrfchem_arc_interactions_tpu.physics.cumulus import bmj_adjust
+            cu_tend, precip = bmj_adjust(diag.theta, state["qv"], diag.p_full,
+                                         rho, dz, dt)
+        else:
+            from wrfchem_arc_interactions_tpu.physics.cumulus_kf import kf_mass_flux
+            cu_tend, precip = kf_mass_flux(diag.theta, state["qv"],
+                                           diag.p_full, rho, dz, dt)
         for k, v in cu_tend.items():
             tend[k] = tend.get(k, 0.0) + v
         state["rainc"] = state["rainc"] + precip * dt
