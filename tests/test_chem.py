@@ -25,7 +25,7 @@ def box_concentrations(ncell=3):
     setv("nh3", 2 * ppb)
     setv("hcho", 3 * ppb)
     setv("par", 20 * ppb)
-    setv("ole", 2 * ppb)
+    setv("olet", 2 * ppb)
     setv("isop", 1 * ppb)
     setv("h2o2", 1 * ppb)
     return jnp.asarray(conc, jnp.float32), m_air, ppb
@@ -232,3 +232,44 @@ def test_mesa_phase_state_gates_water():
     assert w[0] == 0.0, "solid below the mutual DRH must carry no water"
     assert w[2] > 0.0, "deliquesced bin must take up water"
     assert w[2] > w[1], "water grows with RH"
+
+
+def test_resistance_deposition_velocities():
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem import aux
+    from wrfchem_arc_interactions_tpu.chem.mosaic import bins as mbins
+
+    ust = jnp.asarray([[0.3, 0.6]])
+    z1 = jnp.asarray([[25.0, 25.0]])
+    diams = mbins.make_bins(4).d_center
+    vd_gas, vd_aer = aux.deposition_velocities(ust, z1, diams)
+    # HNO3 (rc ~ 1 s/m) deposits much faster than CO (rc ~ 1e5)
+    assert float(vd_gas["hno3"][0, 0]) > 20 * float(vd_gas["co"][0, 0])
+    # stronger turbulence -> faster deposition
+    assert float(vd_gas["o3"][0, 1]) > float(vd_gas["o3"][0, 0])
+    # aerosol: coarse bin (gravitational settling) deposits faster than
+    # accumulation mode (the Slinn minimum)
+    assert float(vd_aer[3][0, 0]) > float(vd_aer[1][0, 0])
+    for v in vd_aer:
+        assert np.isfinite(np.asarray(v)).all() and (np.asarray(v) > 0).all()
+
+
+def test_plume_rise_injects_aloft():
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem import aux
+
+    nz = 20
+    z_w = jnp.broadcast_to(jnp.arange(nz + 1).reshape(-1, 1, 1) * 250.0,
+                           (nz + 1, 1, 2)).astype(jnp.float32)
+    heat = jnp.asarray([[500.0, 0.01]])     # big fire vs negligible source
+    u = jnp.asarray([[2.0, 2.0]])
+    w = aux.plume_rise_profile(heat, u, z_w)
+    w_np = np.asarray(w)
+    np.testing.assert_allclose(w_np.sum(axis=0), 1.0, rtol=1e-5)
+    # the 50 MW fire injects above the lowest layers
+    assert w_np[0, 0, 0] == 0.0
+    assert w_np[:, 0, 0].argmax() > 1
+    # the negligible source stays at the surface
+    assert w_np[0, 0, 1] > 0.99

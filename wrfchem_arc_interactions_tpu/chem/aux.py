@@ -24,14 +24,59 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from wrfchem_arc_interactions_tpu.chem.mosaic import bins as mbins
 from wrfchem_arc_interactions_tpu.chem.mosaic.thermo import ppmv_to_ugkg, ugkg_to_ppmv
 
-# deposition velocities [m/s] by species class
+# fallback deposition velocities [m/s] by species class (used when no
+# friction velocity is available)
 VDEP = {"o3": 0.004, "hno3": 0.02, "so2": 0.008, "nh3": 0.01, "h2o2": 0.01,
         "no2": 0.002, "pan": 0.002, "hcho": 0.005, "default_gas": 0.002,
         "aerosol": 0.002}
+
+# Wesely (1989) bulk surface (canopy) resistances [s/m] — the rc of the
+# resistance-in-series scheme (canonical: module_dep_simple.F tables,
+# midsummer land-use category collapsed to one value per species)
+RC_WESELY = {"o3": 100.0, "so2": 130.0, "hno3": 1.0, "nh3": 80.0,
+             "h2o2": 50.0, "no2": 300.0, "no": 3000.0, "pan": 500.0,
+             "hcho": 150.0, "co": 1.0e5, "ald2": 300.0, "hono": 50.0,
+             "n2o5": 1.0, "hno4": 10.0, "ch3ooh": 200.0, "rooh": 200.0,
+             "default_gas": 400.0}
+KARMAN = 0.4
+Z0_DEP = 0.1           # roughness length [m] (land)
+
+
+def deposition_velocities(ust, z1, bin_diam_m):
+    """Resistance-in-series deposition velocities (canonical:
+    chem/dry_dep_driver.F + module_aer_drydep.F).
+
+    Gases: vd = 1/(ra + rb + rc) with aerodynamic ra = ln(z1/z0)/(k u*),
+    quasi-laminar rb ~ 5/u* (Sc/Pr)^(2/3), Wesely rc per species.
+    Aerosol (Slinn): vd = vg + 1/(ra + rs + ra rs vg) with gravitational
+    settling vg(D) and surface resistance rs = 1/(u*(Sc^-2/3 + 10^(-3/St))).
+
+    Returns ({species: vd_gas (ny,nx)}, [vd_aer per bin]).
+    """
+    ust = jnp.maximum(ust, 0.05)
+    ra = jnp.log(jnp.maximum(z1, 2.0 * Z0_DEP) / Z0_DEP) / (KARMAN * ust)
+    rb = 5.0 / ust
+    vd_gas = {s: 1.0 / (ra + rb + rc) for s, rc in RC_WESELY.items()}
+
+    vd_aer = []
+    mu_air = 1.8e-5
+    for d in bin_diam_m:
+        # Cunningham slip correction
+        kn = 2.0 * 6.5e-8 / d
+        cc = 1.0 + kn * (1.257 + 0.4 * np.exp(-1.1 / kn))
+        vg = 1500.0 * d ** 2 * 9.81 * cc / (18.0 * mu_air)
+        # Brownian Schmidt number + impaction Stokes number
+        diff = 1.38e-23 * 293.0 * cc / (3.0 * np.pi * mu_air * d)
+        sc = mu_air / (1.2 * diff)
+        st = vg * ust ** 2 / (9.81 * mu_air / 1.2)
+        rs = 1.0 / (ust * (sc ** (-2.0 / 3.0) + 10.0 ** (-3.0 / jnp.maximum(st, 1e-3))))
+        vd_aer.append(vg + 1.0 / (ra + rs + ra * rs * vg))
+    return vd_gas, vd_aer
 
 
 def photolysis_scale(mu0, qc_column):
@@ -65,20 +110,67 @@ def photolysis_profile(mu0, qc, rho, dz, tau_aer_vis=None):
 
 
 def dry_deposition(chem: Dict[str, jax.Array], dz0, dt: float,
-                   gas_names) -> Dict[str, jax.Array]:
-    """First-order sink in the lowest model layer; dz0 (ny, nx)."""
+                   gas_names, ust=None, nbin: int = 4) -> Dict[str, jax.Array]:
+    """Dry-deposition sink in the lowest model layer; dz0 (ny, nx).
+
+    With a friction velocity, uses the resistance-in-series velocities
+    (deposition_velocities); otherwise the fallback class table."""
     out = dict(chem)
+    vd_gas = vd_aer = None
+    if ust is not None:
+        diams = mbins.make_bins(nbin).d_center
+        vd_gas, vd_aer = deposition_velocities(ust, 0.5 * dz0, diams)
     for name, arr in chem.items():
         short = name.replace("chem_", "")
         if short in gas_names:
-            v = VDEP.get(short, VDEP["default_gas"])
+            if vd_gas is not None:
+                v = vd_gas.get(short, vd_gas["default_gas"])
+            else:
+                v = VDEP.get(short, VDEP["default_gas"])
         elif "_a" in short:
-            v = VDEP["aerosol"]
+            if vd_aer is not None:
+                b = int(short[-2:]) - 1
+                v = vd_aer[min(b, len(vd_aer) - 1)]
+            else:
+                v = VDEP["aerosol"]
         else:
             continue
         fac = jnp.exp(-v * dt / jnp.maximum(dz0, 1.0))
         out[name] = arr.at[0].set(arr[0] * fac)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Plume rise (canonical: chem/module_plumerise1.F, Briggs-style rise of
+# buoyant fire/stack emissions into an elevated injection layer)
+# ---------------------------------------------------------------------------
+
+def plume_rise_profile(heat_mw, u_mean, z_w):
+    """Injection-weight profile for buoyant elevated emissions.
+
+    heat_mw: source heat flux [MW] (ny, nx); u_mean: transport wind [m/s];
+    z_w: (nz+1, ny, nx) w-level heights above ground.  Briggs (1975) final
+    rise for buoyant plumes in neutral flow: dh = 1.6 Fb^(1/3) xf^(2/3) / u
+    with Fb ~ 8.8e-6 * Q[W] m4/s3 and xf = 120 m * Fb^(2/5) (Fb>55) —
+    collapsed to the standard dh ~ 38.7 Fb^(3/5)/u form.  Emissions spread
+    uniformly between 0.5 dh and dh (the reference's top/bottom detrainment
+    layer).  Returns (nz, ny, nx) weights summing to 1 per column.
+    """
+    q_w = jnp.maximum(heat_mw, 1e-3) * 1e6
+    fb = 8.8e-6 * q_w
+    u = jnp.maximum(u_mean, 1.0)
+    dh = 38.7 * fb ** 0.6 / u
+    z_top = jnp.clip(dh, 50.0, 8000.0)[None]
+    z_bot = 0.5 * z_top
+    z_lo = z_w[:-1]
+    z_hi = z_w[1:]
+    overlap = jnp.clip(jnp.minimum(z_hi, z_top) - jnp.maximum(z_lo, z_bot),
+                       0.0, None)
+    w = overlap / jnp.maximum(jnp.sum(overlap, axis=0, keepdims=True), 1.0)
+    # degenerate columns (plume below the first level): inject at level 0
+    empty = jnp.sum(overlap, axis=0, keepdims=True) <= 0.0
+    w0 = jnp.zeros_like(w).at[0].set(1.0)
+    return jnp.where(empty, w0, w)
 
 
 def wet_scavenging(chem: Dict[str, jax.Array], qr, dt: float,
@@ -121,15 +213,26 @@ def cloud_chemistry(chem: Dict[str, jax.Array], qc, t_air, nbin: int,
 
 
 def apply_emissions(chem: Dict[str, jax.Array], emis: Dict[str, jax.Array],
-                    rho0, dz0, dt: float) -> Dict[str, jax.Array]:
-    """Inject surface fluxes into layer 0. emis values:
-    gases [mol/m2/s -> here ppmv*kg/m2/s simplified: ppmv/s*m], aerosol
-    [ug/m2/s]; divided by the layer air mass rho0*dz0."""
+                    rho0, dz0, dt: float,
+                    plume_w=None, rho=None, dz=None) -> Dict[str, jax.Array]:
+    """Inject emission fluxes. emis values:
+    gases [ppmv/s*m simplified], aerosol [ug/m2/s]; divided by the layer
+    air mass rho0*dz0.
+
+    Keys prefixed ``elev_`` are ELEVATED buoyant sources (fire/stack aux
+    streams): they are distributed over levels with the ``plume_w``
+    injection profile from plume_rise_profile (requires rho, dz 3D)."""
     out = dict(chem)
     for name, flux in emis.items():
-        key = name if name.startswith("chem_") else f"chem_{name}"
+        elevated = name.startswith("elev_")
+        base = name[5:] if elevated else name
+        key = base if base.startswith("chem_") else f"chem_{base}"
         if key not in chem:
             continue
-        d = flux * dt / jnp.maximum(rho0 * dz0, 1e-3)
-        out[key] = chem[key].at[0].add(d)
+        if elevated and plume_w is not None:
+            d = plume_w * flux[None] * dt / jnp.maximum(rho * dz, 1e-3)
+            out[key] = out[key] + d
+        else:
+            d = flux * dt / jnp.maximum(rho0 * dz0, 1e-3)
+            out[key] = out[key].at[0].add(d)
     return out

@@ -61,13 +61,24 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
 
     chem = {k: v for k, v in state.items() if k.startswith("chem_")}
 
-    # 1. dry deposition
+    # 1. dry deposition (resistance-in-series when the surface scheme
+    # provides a friction velocity)
     if ch.drydep_opt:
-        chem = aux.dry_deposition(chem, dz[0], dt, gas.GAS_SPECIES)
+        ust = state.get("ust")
+        chem = aux.dry_deposition(chem, dz[0], dt, gas.GAS_SPECIES,
+                                  ust=ust, nbin=nbin)
 
-    # 2. emissions
+    # 2. emissions (surface fluxes + Briggs plume rise for elevated
+    # `elev_*` sources carrying a `heat_mw` entry)
     if ch.emiss_opt and emissions:
-        chem = aux.apply_emissions(chem, emissions, rho_air[0], dz[0], dt)
+        plume_w = None
+        if any(k.startswith("elev_") for k in emissions):
+            z_w = (ph_full - ph_full[0:1]) / c.G
+            u_mean = jnp.sqrt(state["u"][0] ** 2 + state["v"][0] ** 2)
+            heat = emissions.get("heat_mw", jnp.ones_like(u_mean))
+            plume_w = aux.plume_rise_profile(heat, u_mean, z_w)
+        chem = aux.apply_emissions(chem, emissions, rho_air[0], dz[0], dt,
+                                   plume_w=plume_w, rho=rho_air, dz=dz)
 
     # 3-4. photolysis profile (coupled to the computed cloud + aerosol
     # optical state — the chem->J ARC pathway) + gas-phase mechanism

@@ -49,11 +49,12 @@ class Simulation:
     def __init__(self, cfg: Config, grid: Grid, state: State,
                  mesh=None, check_nans: bool = False,
                  output_dir: Optional[str] = None,
-                 boundary=None):
+                 boundary=None, emissions=None):
         self.cfg = cfg
         self.grid = grid
         self.mesh = mesh
         self.boundary = boundary
+        self.emissions = emissions    # {species|elev_species: flux, heat_mw}
         self.spec_bc = None
         from wrfchem_arc_interactions_tpu.config.namelist import BCKind
         if (cfg.dynamics.bc_x == BCKind.SPECIFIED
@@ -139,10 +140,11 @@ class Simulation:
                     return radiation_driver(s, g, cfg, t_s)
             elif key == "chem":
                 from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
+                emissions = self.emissions
 
                 def fn(s, g, t_s):
                     return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
-                                       time_s=t_s)
+                                       time_s=t_s, emissions=emissions)
             else:
                 raise ValueError(key)
             self._steppers[key] = self._wrap(fn)
