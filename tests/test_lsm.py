@@ -1,0 +1,95 @@
+"""Noah-class LSM tests (canonical: phys/module_sf_noahdrv.F behavior)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wrfchem_arc_interactions_tpu.config import (
+    Config, DomainConfig, DynamicsConfig, PhysicsConfig, TimeControl,
+)
+from wrfchem_arc_interactions_tpu.config.namelist import (
+    PBLScheme, RAScheme, SFScheme, SFSurface,
+)
+from wrfchem_arc_interactions_tpu.models import ideal
+from wrfchem_arc_interactions_tpu.models.driver import Simulation
+from wrfchem_arc_interactions_tpu.physics import lsm
+
+
+def _soil_state(tsk=300.0, sm=0.25, shp=(2, 3)):
+    return {
+        "tsk": jnp.full(shp, tsk),
+        "tslb": jnp.full((4,) + shp, 285.0),
+        "smois": jnp.full((4,) + shp, sm),
+        "tmn": jnp.full(shp, 285.0),
+    }
+
+
+def test_soil_heat_diffuses_downward():
+    st = _soil_state(tsk=305.0)
+    z = jnp.zeros((2, 3))
+    for _ in range(200):                      # ~2 h of strong heating
+        upd = lsm.noah_step(st, hfx=z, qfx_pot=z, ra=jnp.full((2, 3), 50.0),
+                            rho0=1.2, precip_rate=z,
+                            swdown=jnp.full((2, 3), 600.0),
+                            glw=jnp.full((2, 3), 350.0), dt=36.0)
+        st.update({k: upd[k] for k in ("tsk", "tslb", "smois")})
+    tslb = np.asarray(st["tslb"])
+    assert np.isfinite(tslb).all()
+    # heating propagates downward with decreasing amplitude
+    assert tslb[0, 0, 0] > tslb[1, 0, 0] > tslb[3, 0, 0]
+    assert tslb[0, 0, 0] > 286.0
+    assert tslb[3, 0, 0] < 290.0
+
+
+def test_wet_soil_evaporates_more():
+    z = jnp.zeros((1, 1))
+    qpot = jnp.full((1, 1), 1e-4)
+    ra = jnp.full((1, 1), 50.0)
+    sw = jnp.full((1, 1), 500.0)
+    glw = jnp.full((1, 1), 350.0)
+    wet = lsm.noah_step(_soil_state(sm=0.32), z, qpot, ra, 1.2, z, sw, glw, 60.0)
+    dry = lsm.noah_step(_soil_state(sm=0.12), z, qpot, ra, 1.2, z, sw, glw, 60.0)
+    assert float(wet["qfx_eff"][0, 0]) > 2.0 * float(dry["qfx_eff"][0, 0])
+
+
+def test_evaporation_dries_and_rain_moistens_soil():
+    z = jnp.zeros((1, 1))
+    qpot = jnp.full((1, 1), 2e-4)
+    ra = jnp.full((1, 1), 30.0)
+    sw = jnp.full((1, 1), 400.0)
+    glw = jnp.full((1, 1), 350.0)
+    st = _soil_state(sm=0.30)
+    sm0 = float(st["smois"][0, 0, 0])
+    for _ in range(50):
+        upd = lsm.noah_step(st, z, qpot, ra, 1.2, z, sw, glw, 60.0)
+        st.update({k: upd[k] for k in ("tsk", "tslb", "smois")})
+    assert float(st["smois"][0, 0, 0]) < sm0
+    # rain re-moistens (bounded by saturation)
+    upd = lsm.noah_step(st, z, qpot, ra, 1.2,
+                        jnp.full((1, 1), 1e-2), sw, glw, 600.0)
+    assert float(upd["smois"][0, 0, 0]) > float(st["smois"][0, 0, 0])
+    assert float(upd["smois"].max()) <= lsm.SM_SAT + 1e-6
+
+
+@pytest.mark.slow
+def test_noah_end_to_end():
+    cfg = Config(
+        domain=DomainConfig(nx=16, ny=4, nz=16, dx=2000.0, dy=2000.0,
+                            ztop=12000.0, p_top=20000.0),
+        time_control=TimeControl(dt=10.0),
+        dynamics=DynamicsConfig(kvdif=20.0),
+        physics=PhysicsConfig(ra_sw_physics=RAScheme.SIMPLE,
+                              ra_lw_physics=RAScheme.SIMPLE, radt_s=60.0,
+                              bl_pbl_physics=PBLScheme.YSU,
+                              sf_sfclay_physics=SFScheme.REVISED_MM5,
+                              sf_surface_physics=SFSurface.NOAH),
+    )
+    grid, state = ideal.make_case(cfg, "quiescent")
+    sim = Simulation(cfg, grid, state, check_nans=True)
+    sim.run_seconds(1200.0)
+    out = sim.state
+    assert np.isfinite(np.asarray(out["tslb"])).all()
+    assert np.isfinite(np.asarray(out["tsk"])).all()
+    sm = np.asarray(out["smois"])
+    assert (sm >= 0.02 - 1e-6).all() and (sm <= lsm.SM_SAT + 1e-6).all()
+    assert 230.0 < float(np.asarray(out["tsk"]).mean()) < 340.0

@@ -66,6 +66,14 @@ class SFScheme(str, enum.Enum):
     REVISED_MM5 = "revised_mm5"    # sf_sfclay_physics=1 analog + slab LSM
 
 
+class SFSurface(str, enum.Enum):
+    """Land-surface model (`sf_surface_physics`)."""
+
+    SLAB = "slab"                  # thermal-slab skin (sf_surface_physics=1)
+    NOAH = "noah"                  # 4-layer soil T/moisture + canopy
+                                   # resistance (sf_surface_physics=2 analog)
+
+
 class AdvOrder(int, enum.Enum):
     """Horizontal advection order (h_sca_adv_order / h_mom_adv_order)."""
 
@@ -145,6 +153,7 @@ class PhysicsConfig:
                                        # cloud fraction + McICA subcolumn overlap
     bl_pbl_physics: PBLScheme = PBLScheme.NONE
     sf_sfclay_physics: SFScheme = SFScheme.NONE
+    sf_surface_physics: SFSurface = SFSurface.SLAB
     cu_physics: CUScheme = CUScheme.NONE
     progn: bool = False                # prognostic droplet number (ARC indirect effect)
     num_land_cat: int = 2

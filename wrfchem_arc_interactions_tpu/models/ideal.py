@@ -131,6 +131,11 @@ def init_balanced(cfg: Config, grid: Grid,
     if tsk is None:
         tsk = float(theta_full[0].mean() * (p[0].mean() / c.P0) ** c.RCP)
     state["tsk"] = jnp.full_like(state["tsk"], tsk)
+    if "tslb" in state:       # Noah soil columns: isothermal at tsk, moist
+        state["tslb"] = jnp.full_like(state["tslb"], tsk)
+        state["smois"] = jnp.full_like(state["smois"], 0.25)
+    if "tmn" in state:
+        state["tmn"] = jnp.full_like(state["tmn"], tsk)
     return state
 
 

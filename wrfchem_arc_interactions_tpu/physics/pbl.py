@@ -30,8 +30,11 @@ SLAB_DEPTH_HEAT = 5.0e4   # slab heat capacity [J/m2/K]
 EMISS = 0.98
 
 
-def surface_fluxes(t_air0, q_air0, p0, rho0, u0, v0, z1, tsk):
-    """Bulk similarity fluxes. All (ny, nx). Returns (hfx, qfx, ust, cd)."""
+def surface_fluxes(t_air0, q_air0, p0, rho0, u0, v0, z1, tsk,
+                   beta_moist=0.3):
+    """Bulk similarity fluxes. All (ny, nx).
+    Returns (hfx, qfx, ust, cd, ch_wind) — ch_wind is the exchange velocity
+    C_h |U| [m/s] (1/aerodynamic resistance) the Noah LSM needs."""
     wind = jnp.sqrt(u0 ** 2 + v0 ** 2) + 0.1
     lnz = jnp.log(z1 / Z0)
     cd_n = (c.KARMAN / lnz) ** 2
@@ -49,9 +52,8 @@ def surface_fluxes(t_air0, q_air0, p0, rho0, u0, v0, z1, tsk):
     hfx = rho0 * c.CP * ch * wind * (th_sfc - th_air) * pii0
     es = 611.2 * jnp.exp(c.SVP2 * (tsk - c.SVPT0) / (tsk - c.SVP3))
     qsat_sfc = c.EP_2 * es / jnp.maximum(p0 - es, 1.0)
-    beta_moist = 0.3     # soil moisture availability
     qfx = rho0 * ch * wind * beta_moist * (qsat_sfc - q_air0)
-    return hfx, qfx, ust, cd
+    return hfx, qfx, ust, cd, ch * wind
 
 
 def pbl_height(thv, z, ust, hfx, rho0):
@@ -101,10 +103,19 @@ def surface_and_pbl(state: State, grid: Grid, cfg: Config,
     dz_w = z_c[1:] - z_c[:-1]
     rho_w = 0.5 * (rho[1:] + rho[:-1])
 
+    from wrfchem_arc_interactions_tpu.config.namelist import SFSurface
+    noah = cfg.physics.sf_surface_physics == SFSurface.NOAH and "smois" in state
+
     qv = state.get("qv", jnp.zeros_like(t_air))
-    hfx, qfx, ust, cd = surface_fluxes(
+    if noah:
+        from wrfchem_arc_interactions_tpu.physics import lsm
+        beta = lsm.soil_beta(state["smois"][0])
+    else:
+        beta = 0.3
+    hfx, qfx, ust, cd, ch_wind = surface_fluxes(
         t_air[0], qv[0], diag.p_full[0], rho[0],
-        state["u"][0], state["v"][0], z_agl[0], state["tsk"])
+        state["u"][0], state["v"][0], z_agl[0], state["tsk"],
+        beta_moist=beta)
 
     thv = diag.theta * (1.0 + c.EP_1 * qv)
     h_pbl, k_pbl = pbl_height(thv, z_agl, ust, hfx, rho[0])
@@ -144,8 +155,27 @@ def surface_and_pbl(state: State, grid: Grid, cfg: Config,
     out["qfx"] = qfx
     out["ust"] = ust
     out["pblh"] = h_pbl
-    # slab surface energy balance when radiation supplies fluxes
-    if "swdown" in state:
+    if noah and "swdown" in state:
+        # Noah-class LSM: soil T/moisture columns + canopy-limited
+        # evaporation (physics/lsm.py)
+        from wrfchem_arc_interactions_tpu.physics import lsm
+        qfx_pot = qfx / beta                        # potential evaporation
+        ra = 1.0 / jnp.maximum(ch_wind, 1e-4)
+        rain = state.get("rainnc", 0.0)
+        if "rainc" in state:
+            rain = rain + state["rainc"]
+        prev = state.get("rain_prev", rain)
+        precip_rate = jnp.maximum(rain - prev, 0.0) / dt
+        upd = lsm.noah_step(state, hfx, qfx_pot, ra, rho[0], precip_rate,
+                            state["swdown"], state["glw"], dt)
+        out["tsk"] = upd["tsk"]
+        out["tslb"] = upd["tslb"]
+        out["smois"] = upd["smois"]
+        out["qfx"] = upd["qfx_eff"]
+        if "rain_prev" in state:
+            out["rain_prev"] = rain
+    elif "swdown" in state:
+        # slab surface energy balance when radiation supplies fluxes
         net = ((1.0 - 0.2) * state["swdown"] + EMISS * state["glw"]
                - EMISS * c.STBOLT * state["tsk"] ** 4 - hfx - c.XLV * qfx)
         out["tsk"] = state["tsk"] + dt * net / SLAB_DEPTH_HEAT

@@ -210,6 +210,21 @@ def _phys_fields(cfg: Config) -> Tuple[FieldSpec, ...]:
             FieldSpec("tmn", DIMS_YX, STAG_NONE, "K", "deep soil temperature",
                       restart=True),
         ]
+    from wrfchem_arc_interactions_tpu.config.namelist import SFSurface
+    if phys.sf_surface_physics == SFSurface.NOAH:
+        # Noah-class 4-layer soil state (canonical: TSLB/SMOIS of
+        # module_sf_noahdrv.F; num_soil_layers=4)
+        specs += [
+            FieldSpec("tslb", DIMS_YX, STAG_NONE, "K",
+                      "soil temperature per layer", extra=(("soil", 4),),
+                      restart=True, history=True),
+            FieldSpec("smois", DIMS_YX, STAG_NONE, "m3 m-3",
+                      "soil moisture per layer", extra=(("soil", 4),),
+                      restart=True, history=True),
+            FieldSpec("rain_prev", DIMS_YX, STAG_NONE, "mm",
+                      "accumulated precip at the previous LSM call "
+                      "(for the infiltration rate)", restart=True),
+        ]
     if cfg.dynamics.km_opt.value == "tke":
         specs.append(
             FieldSpec("tke", DIMS_ZYX, STAG_NONE, "m2 s-2",
