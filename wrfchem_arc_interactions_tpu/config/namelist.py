@@ -157,6 +157,8 @@ class PhysicsConfig:
     cu_physics: CUScheme = CUScheme.NONE
     progn: bool = False                # prognostic droplet number (ARC indirect effect)
     num_land_cat: int = 2
+    tke_heat_flux: float = 0.0         # LES: imposed kinematic surface heat
+                                       # flux [K m/s] (em_les's tke_heat_flux)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,6 +191,8 @@ class DynamicsConfig:
     bc_y: BCKind = BCKind.PERIODIC
     spec_zone: int = 1             # &bdy_control spec_zone (specified rows)
     relax_zone: int = 4            # &bdy_control relax_zone (Davies nudging)
+    sppt_amp: float = 0.0          # &stoch sppt analog: tendency perturbation
+    skebs_amp: float = 0.0         # &stoch skebs analog: KE backscatter [m/s2]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,6 +26,7 @@ from wrfchem_arc_interactions_tpu.config.namelist import (
 )
 from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
 from wrfchem_arc_interactions_tpu.dycore.diffusion import diffusion_tendencies
+from wrfchem_arc_interactions_tpu.utils import constants as c_
 from wrfchem_arc_interactions_tpu.grid import Grid
 from wrfchem_arc_interactions_tpu.parallel.halo import HaloOps
 from wrfchem_arc_interactions_tpu.registry.state import State, advected_names
@@ -53,6 +54,16 @@ def pre_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         for k, v in pbl_tend.items():
             tend[k] = tend.get(k, 0.0) + v
 
+    if phys.tke_heat_flux > 0.0:
+        # em_les's imposed kinematic surface heat flux [K m/s]: a theta
+        # source in the lowest layer driving the resolved convection (the
+        # LES case's surface forcing; vertical transport is the resolved
+        # motion + the TKE closure)
+        ph_full = grid.phb + state["ph"]
+        dz0 = (ph_full[1] - ph_full[0]) / c_.G
+        src = jnp.zeros_like(state["t"]).at[0].set(phys.tke_heat_flux / dz0)
+        tend["th"] = tend.get("th", 0.0) + src
+
     if phys.cu_physics != CUScheme.NONE:
         # cumulus_driver slot of first_rk_step_part1 (SURVEY.md §3.2):
         # tendencies held through the RK stages like the other physics.
@@ -79,6 +90,26 @@ def pre_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         d = diffusion_tendencies(state, grid, cfg, hx, dt, scalars)
         for k, v in d.items():
             tend[k] = tend.get(k, 0.0) + v
+
+    dyn = cfg.dynamics
+    if dyn.sppt_amp > 0.0 or dyn.skebs_amp > 0.0:
+        # stochastic physics (SPPT on the assembled tendencies, SKEBS on
+        # momentum) — the module_stoch.F slot
+        from wrfchem_arc_interactions_tpu.dycore import stoch
+        step_no = jnp.round(time_s / dt).astype(jnp.uint32)
+        if dyn.sppt_amp > 0.0:
+            pat = stoch.evolve_pattern(state["sppt_pattern"], hx, dt,
+                                       step_no, seed=0)
+            state["sppt_pattern"] = pat
+            tend = stoch.apply_sppt(tend, pat, dyn.sppt_amp)
+        if dyn.skebs_amp > 0.0:
+            psi = stoch.evolve_pattern(state["skebs_psi"], hx, dt,
+                                       step_no, seed=1)
+            state["skebs_psi"] = psi
+            du, dv = stoch.skebs_increments(psi, hx, dyn.skebs_amp,
+                                            1.0 / grid.rdx, 1.0 / grid.rdy)
+            tend["u"] = tend.get("u", 0.0) + du[None]
+            tend["v"] = tend.get("v", 0.0) + dv[None]
 
     return state, tend
 

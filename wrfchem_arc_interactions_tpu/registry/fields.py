@@ -225,6 +225,15 @@ def _phys_fields(cfg: Config) -> Tuple[FieldSpec, ...]:
                       "accumulated precip at the previous LSM call "
                       "(for the infiltration rate)", restart=True),
         ]
+    if cfg.dynamics.sppt_amp > 0.0 or cfg.dynamics.skebs_amp > 0.0:
+        # stochastic-physics pattern state (canonical: module_stoch.F
+        # spectral coefficient state; here the physical-space AR(1) pattern)
+        specs += [
+            FieldSpec("sppt_pattern", DIMS_YX, STAG_NONE, "1",
+                      "SPPT random pattern (AR1)", restart=True),
+            FieldSpec("skebs_psi", DIMS_YX, STAG_NONE, "1",
+                      "SKEBS streamfunction pattern (AR1)", restart=True),
+        ]
     if cfg.dynamics.km_opt.value == "tke":
         specs.append(
             FieldSpec("tke", DIMS_ZYX, STAG_NONE, "m2 s-2",
