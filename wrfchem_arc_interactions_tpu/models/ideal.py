@@ -228,10 +228,84 @@ def hill2d_x(cfg: Config, hm: float = 100.0, a_half: float = 10000.0,
     return grid, state
 
 
+def b_wave(cfg: Config, delta_t: float = 12.0, ly_frac: float = 0.15,
+           f0: float = 1.0e-4, perturb: float = 1.0) -> Tuple[Grid, State]:
+    """Baroclinic-wave channel (canonical: module_initialize_b_wave.F):
+    meridional tanh temperature front, zonal jet in DISCRETE thermal-wind
+    balance with the model's own y pressure gradient, and a small theta
+    perturbation seeding the unstable wave.  Periodic in x, symmetric y
+    walls, f-plane.
+    """
+    d = cfg.domain
+    grid = make_grid(cfg, soundings.constant_n2_theta(), f0=f0)
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])
+    theta0 = np.asarray(grid.t_init, np.float64)
+    y = (np.arange(d.ny) + 0.5) * d.dy
+    yc = 0.5 * d.ny * d.dy
+    ly = ly_frac * d.ny * d.dy
+    # front confined below ~10 km, fading toward the model top
+    fade = np.clip(1.0 - z / 12000.0, 0.0, 1.0)
+    front = -delta_t * np.tanh((y[None, :, None] - yc) / ly)
+    theta = theta0 + front * fade
+    if perturb:
+        # seed perturbation goes in BEFORE hydrostatic balancing, so the
+        # initial state is only geostrophically (mildly) unbalanced, not
+        # hydrostatically shocked
+        x = (np.arange(d.nx) + 0.5) * d.dx
+        lx = d.nx * d.dx
+        theta = theta + (perturb
+                         * np.exp(-((y[None, :, None] - yc) / ly) ** 2)
+                         * np.sin(2.0 * np.pi * x[None, None, :] / lx)
+                         * np.clip(1.0 - z / 9000.0, 0.0, 1.0))
+    qv = np.zeros_like(theta)
+    state = init_balanced(cfg, grid, theta, qv)
+    # discrete geostrophic jet: in the dry-mass coordinate with uniform
+    # surface pressure, p is uniform ON eta surfaces, so the meridional PGF
+    # is carried entirely by the geopotential slope: f u_g = -dPhi/dy|eta
+    # (the Montgomery-like balance the model's own PGF reduces to here)
+    ph_full = np.asarray(grid.phb, np.float64) + np.asarray(state["ph"], np.float64)
+    phi_m = 0.5 * (ph_full[:-1] + ph_full[1:])       # mass levels
+    u_g = -np.gradient(phi_m, d.dy, axis=1) / f0
+    u_g[:, 0, :] = u_g[:, 1, :]
+    u_g[:, -1, :] = u_g[:, -2, :]
+    state["u"] = jnp.asarray(u_g, state["u"].dtype)
+    return grid, state
+
+
+def les_cbl(cfg: Config, theta_sfc: float = 300.0,
+            inv_height: float = 1000.0) -> Tuple[Grid, State]:
+    """Convective-boundary-layer LES case (canonical:
+    module_initialize_les.F): well-mixed layer capped by an inversion,
+    driven by cfg.physics.tke_heat_flux; random sub-K seed perturbations
+    break the symmetry so resolved convection develops."""
+    d = cfg.domain
+
+    def theta_of_z(z):
+        z = np.asarray(z)
+        return np.where(z < inv_height, theta_sfc,
+                        theta_sfc + 0.01 * (z - inv_height))
+
+    grid = make_grid(cfg, theta_of_z)
+    theta = np.asarray(grid.t_init, np.float64).copy()
+    rng = np.random.default_rng(7)
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])
+    theta += np.where(z < 0.5 * inv_height,
+                      rng.uniform(-0.1, 0.1, theta.shape), 0.0)
+    qv = np.zeros_like(theta)
+    state = init_balanced(cfg, grid, theta, qv, tsk=theta_sfc + 2.0)
+    return grid, state
+
+
 def make_case(cfg: Config, case: str = "warm_bubble", **kw):
     """Convenience: (grid, state) for a named ideal case."""
     if case == "hill2d_x":
         return hill2d_x(cfg, **kw)
+    if case == "b_wave":
+        return b_wave(cfg, **kw)
+    if case == "les":
+        return les_cbl(cfg, **kw)
     if case == "warm_bubble":
         grid = make_grid(cfg, soundings.constant_n2_theta())
         return grid, warm_bubble(cfg, grid, **kw)
