@@ -1,5 +1,7 @@
 """Restart bit-exactness (SURVEY.md §4.2: run 2N steps vs N + restart + N —
-the reference's core regression invariant) and history stream contents."""
+the reference's core regression invariant) and history stream contents,
+exercised through the default container (native netCDF when the C++ backend
+builds, npz otherwise)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -21,7 +23,8 @@ def _cfg(tmp):
     )
 
 
-def test_restart_bit_exact(tmp_path):
+@pytest.mark.parametrize("ext", [hio.default_extension(), ".npz"])
+def test_restart_bit_exact(tmp_path, ext):
     cfg = _cfg(tmp_path)
     grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0)
 
@@ -29,13 +32,14 @@ def test_restart_bit_exact(tmp_path):
     sim_a = Simulation(cfg, grid, state)
     sim_a.advance(10)
 
-    # run N, dump, restart, run N
+    # run N, dump (explicitly in this container), restart, run N
     out = str(tmp_path)
-    sim_b = Simulation(cfg, grid, state, output_dir=out)
+    sim_b = Simulation(cfg, grid, state)
     sim_b.advance(5)
+    path = f"{out}/restart_000005{ext}"
+    hio.write_restart(path, cfg, sim_b.state, 5, sim_b.time_s)
     hio.flush()
-    restored, step, t_s = hio.read_restart(f"{out}/restart_000005.npz",
-                                           cfg, state)
+    restored, step, t_s = hio.read_restart(path, cfg, state)
     assert step == 5 and t_s == 25.0
     sim_c = Simulation(cfg, grid, restored)
     sim_c.step_idx = step
@@ -54,8 +58,24 @@ def test_history_written(tmp_path):
     sim = Simulation(cfg, grid, state, output_dir=str(tmp_path))
     sim.advance(5)
     hio.flush()
-    f = np.load(tmp_path / "hist_000005.npz")
+    ext = hio.default_extension()
+    f, time_s = hio.read_history(str(tmp_path / f"hist_000005{ext}"))
     for name in history_names(cfg):
         assert name in f, name
-    assert float(f["_time_s"]) == 25.0
+    assert time_s == 25.0
     assert f["u"].shape == (12, 4, 24)
+
+
+def test_driver_restart_alarm_writes_default_container(tmp_path):
+    cfg = _cfg(tmp_path)
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0)
+    sim = Simulation(cfg, grid, state, output_dir=str(tmp_path))
+    sim.advance(5)
+    hio.flush()
+    ext = hio.default_extension()
+    restored, step, t_s = hio.read_restart(
+        str(tmp_path / f"restart_000005{ext}"), cfg, state)
+    assert step == 5 and t_s == 25.0
+    for name in restart_names(cfg):
+        np.testing.assert_array_equal(np.asarray(restored[name]),
+                                      np.asarray(sim.state[name]))

@@ -174,13 +174,15 @@ class Simulation:
                 f"{elapsed:.5f} elapsed seconds", level=2)
             if self.hist_every and self.step_idx % self.hist_every == 0:
                 from wrfchem_arc_interactions_tpu.io import history as hio
+                ext = hio.default_extension()
                 hio.write_history(
-                    f"{self.output_dir}/hist_{self.step_idx:06d}.npz",
+                    f"{self.output_dir}/hist_{self.step_idx:06d}{ext}",
                     self.cfg, self.grid, self.state, self.time_s)
             if self.rst_every and self.step_idx % self.rst_every == 0:
                 from wrfchem_arc_interactions_tpu.io import history as hio
+                ext = hio.default_extension()
                 hio.write_restart(
-                    f"{self.output_dir}/restart_{self.step_idx:06d}.npz",
+                    f"{self.output_dir}/restart_{self.step_idx:06d}{ext}",
                     self.cfg, self.state, self.step_idx, self.time_s)
             if on_step is not None:
                 on_step(self)
