@@ -115,7 +115,7 @@ def _arc_case(nx=16, ny=8, nz=10, dtype=jnp.float32):
         physics=PhysicsConfig(mp_physics=MPScheme.MORRISON2, progn=True,
                               ra_sw_physics=RAScheme.RRTMG,
                               ra_lw_physics=RAScheme.RRTMG),
-        chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN, chemdt_s=8.0,
+        chem=ChemConfig(chem_opt=ChemOpt.CBMZ_MOSAIC_4BIN, chemdt_s=8.0,
                         aer_ra_feedback=True),
     )
     grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0,
@@ -124,6 +124,11 @@ def _arc_case(nx=16, ny=8, nz=10, dtype=jnp.float32):
     for b in (1, 2):
         state[f"chem_so4_a{b:02d}"] = jnp.full_like(state["t"], 3.0)
         state[f"chem_num_a{b:02d}"] = jnp.full_like(state["t"], 5e9)
+    # seed the gas phase so CBM-Z + Fast-J photolysis do real work under
+    # shard_map (spectral actinic-flux scans are part of the invariant)
+    for s, v in (("o3", 0.04), ("no2", 2e-3), ("no", 1e-3), ("co", 0.12),
+                 ("so2", 2e-3), ("h2o2", 1e-3), ("hcho", 2e-3)):
+        state[f"chem_{s}"] = jnp.full_like(state["t"], v)
     if dtype != jnp.float32:
         state = {k: v.astype(dtype) for k, v in state.items()}
         grid = jax.tree.map(
@@ -160,7 +165,8 @@ def test_full_step_decomposition_invariance():
     tol = {"u": 5e-3, "v": 5e-3, "w": 5e-3, "t": 5e-3, "mu": 0.1, "ph": 0.2,
            "qv": 1e-7, "qc": 1e-7, "nc": 5e2,
            "rthraten_sw": 1e-9, "rthraten_lw": 1e-9,
-           "chem_so4_a01": 1e-4, "chem_num_a01": 5e3}
+           "chem_so4_a01": 1e-4, "chem_num_a01": 5e3,
+           "chem_o3": 1e-6, "chem_no2": 1e-6}
     for name, tl in tol.items():
         d = float(jnp.max(jnp.abs(s1[name] - s4[name])))
         assert d < tl, f"{name}: 1-dev vs (2,2) diff {d}"
@@ -177,7 +183,7 @@ def test_full_step_decomposition_invariance_f64():
         s1 = _run_full(cfg, grid, state, None, 1, dtype=jnp.float64)
         s4 = _run_full(cfg, grid, state, make_mesh(2, 2), 1, dtype=jnp.float64)
         for name in ("u", "v", "w", "t", "mu", "ph", "qv", "qc",
-                     "rthraten_sw", "rthraten_lw", "chem_so4_a01"):
+                     "rthraten_sw", "rthraten_lw", "chem_so4_a01", "chem_o3"):
             a, b = np.asarray(s1[name]), np.asarray(s4[name])
             scale = np.abs(a).max() + 1e-30
             d = np.abs(a - b).max() / scale

@@ -84,10 +84,21 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
     # optical state — the chem->J ARC pathway) + gas-phase mechanism
     if ch.gaschem_onoff and _has_gas(cfg):
         mu0 = cos_zenith(time_s, grid.xlat, grid.xlong)
-        # near-UV aerosol extinction from the previous optics call
-        # (band 10 = 0.345-0.442 um of the RRTMG SW grid)
-        tau_uv = state["tau_aer_sw"][10] if "tau_aer_sw" in state else None
-        j_scale = aux.photolysis_profile(mu0, qc, rho_air, dz, tau_uv)
+        if int(ch.phot_opt) >= 2:
+            # Fast-J-style spectral actinic flux: prognostic O3 absorption,
+            # Rayleigh, cloud LWP, and the chem-computed aerosol optical
+            # state per band -> per-reaction J scales (chem/photolysis.py)
+            from wrfchem_arc_interactions_tpu.chem import photolysis
+            j_scale = photolysis.j_scales(
+                mu0, rho_air * c.G * dz, chem["chem_o3"] * 1e-6,
+                qc * rho_air * dz,
+                state.get("tau_aer_sw"), state.get("ssa_aer_sw"),
+                state.get("asy_aer_sw"))
+        else:
+            # bulk gray attenuation (phot_opt=1 legacy path); near-UV
+            # aerosol extinction band 10 = 0.345-0.442 um of the SW grid
+            tau_uv = state["tau_aer_sw"][10] if "tau_aer_sw" in state else None
+            j_scale = aux.photolysis_profile(mu0, qc, rho_air, dz, tau_uv)
         # ppmv -> molec/cm3
         m_air = diag.p_full / (1.380649e-23 * t_air) * 1e-6      # molec/cm3
         shape = t_air.shape

@@ -256,8 +256,10 @@ _ORDER, _NET, _RKIND, _RPARAMS = _build_tables()
 def rate_constants(t_air: jax.Array, m_air: jax.Array,
                    j_scale: jax.Array) -> jax.Array:
     """(nrxn, ...) rate constants. t_air [K]; m_air [molec/cm3] (unused for
-    the folded-in pseudo-1st-order reactions); j_scale: photolysis scaling
-    (cos-zenith x cloud factor), broadcastable to t_air."""
+    the folded-in pseudo-1st-order reactions); j_scale: photolysis scaling —
+    either one gray field broadcastable to t_air (phot_opt=1), or a dict
+    {phot_name: field} of per-reaction spectral scales from
+    chem/photolysis.j_scales (phot_opt=2, Fast-J path)."""
     ks = []
     for kind, params in zip(_RKIND, _RPARAMS):
         if kind == "arr":
@@ -265,7 +267,8 @@ def rate_constants(t_air: jax.Array, m_air: jax.Array,
             k = a * (t_air / 300.0) ** n * jnp.exp(-e_r / t_air)
         elif kind == "phot":
             name, scale = params
-            k = J_CLEAR[name] * scale * j_scale * jnp.ones_like(t_air)
+            js = j_scale[name] if isinstance(j_scale, dict) else j_scale
+            k = J_CLEAR[name] * scale * js * jnp.ones_like(t_air)
         else:
             raise ValueError(kind)
         ks.append(k)

@@ -208,7 +208,7 @@ class ChemConfig:
     vertmix_onoff: bool = True
     gaschem_onoff: bool = True
     aerchem_onoff: bool = True
-    phot_opt: bool = True
+    phot_opt: int = 2                  # 1: bulk gray scaling; 2: Fast-J spectral
     drydep_opt: bool = True
     emiss_opt: bool = False
     aer_op_opt: int = 1                # 1: volume-mixing Mie; 2: Maxwell-Garnett; 3: core-shell
