@@ -122,14 +122,24 @@ class Simulation:
         if key not in self._steppers:
             cfg, hx, dt = self.cfg, self.hx, self.dt
             if key == "main":
-                boundary, spec_bc = self.boundary, self.spec_bc
+                spec_bc = self.spec_bc
+                if spec_bc is not None:
+                    # boundary data is a traced ARGUMENT (not baked into the
+                    # executable): nesting swaps the snapshots every parent
+                    # step without recompiling (mesh=None guaranteed here)
+                    def fn_bdy(s, g, t_s, bdy):
+                        s, tend = pre_dynamics(s, g, cfg, hx, dt, False, t_s)
+                        s = dyn_step(s, g, cfg, hx, dt, tend)
+                        s = post_dynamics(s, g, cfg, hx, dt, False)
+                        return spec_bc.apply(s, bdy, t_s, dt)
+
+                    self._steppers[key] = jax.jit(fn_bdy)
+                    return self._steppers[key]
 
                 def fn(s, g, t_s):
                     s, tend = pre_dynamics(s, g, cfg, hx, dt, False, t_s)
                     s = dyn_step(s, g, cfg, hx, dt, tend)
                     s = post_dynamics(s, g, cfg, hx, dt, False)
-                    if spec_bc is not None:
-                        s = spec_bc.apply(s, boundary, t_s, dt)
                     return s
             elif key == "rad":
                 from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
@@ -151,19 +161,42 @@ class Simulation:
         return self._steppers[key]
 
     def advance(self, n_steps: int,
-                on_step: Optional[Callable[["Simulation"], None]] = None):
+                on_step: Optional[Callable[["Simulation"], None]] = None,
+                phase_timing: bool = False):
+        """Advance n steps. With `phase_timing`, each executable (chem/rad/
+        main) is synchronized and timed separately into `self.phase_times`
+        (the per-phase step-time breakdown the benchmark reports); the extra
+        device syncs make it bench-mode only."""
+        if phase_timing and not hasattr(self, "phase_times"):
+            self.phase_times = {"chem": 0.0, "rad": 0.0, "main": 0.0}
         for _ in range(n_steps):
             do_rad = self.rad_every > 0 and self.step_idx % self.rad_every == 0
             do_chem = self.chem_every > 0 and self.step_idx % self.chem_every == 0
-            t0 = time.perf_counter()
+            t_start = t0 = time.perf_counter()
             t_now = jnp.float32(self.time_s)
             if do_chem:
                 self.state = self._stepper("chem")(self.state, self.grid, t_now)
+                if phase_timing:
+                    jax.block_until_ready(self.state["t"])
+                    t1 = time.perf_counter()
+                    self.phase_times["chem"] += t1 - t0
+                    t0 = t1
             if do_rad:
                 self.state = self._stepper("rad")(self.state, self.grid, t_now)
-            self.state = self._stepper("main")(self.state, self.grid, t_now)
+                if phase_timing:
+                    jax.block_until_ready(self.state["rthraten_sw"])
+                    t1 = time.perf_counter()
+                    self.phase_times["rad"] += t1 - t0
+                    t0 = t1
+            if self.spec_bc is not None:
+                self.state = self._stepper("main")(self.state, self.grid,
+                                                   t_now, self.boundary)
+            else:
+                self.state = self._stepper("main")(self.state, self.grid, t_now)
             jax.block_until_ready(self.state["t"])
-            elapsed = time.perf_counter() - t0
+            if phase_timing:
+                self.phase_times["main"] += time.perf_counter() - t0
+            elapsed = time.perf_counter() - t_start
             self.step_times.append(elapsed)
             self.step_idx += 1
             self.time_s += self.dt
