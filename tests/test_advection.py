@@ -169,3 +169,42 @@ def test_weno5_essentially_nonoscillatory():
     np.testing.assert_allclose(massw, q.sum(), rtol=1e-5)
     assert overw < 0.2 * max(over5, 1e-12) or overw < 1e-3, \
         f"WENO5 overshoot {overw:.2e} vs linear-5th {over5:.2e}"
+
+
+def test_vertical_upwind_direction_and_dissipation():
+    """Regression for the inverted vertical upwinding (vflux sign contract):
+    eta decreases with k, so the index-space transport direction is
+    -sign(ww).  First-order vertical advection must translate a peak in the
+    right direction and stay monotone (0 <= q <= 1) for BOTH wind signs —
+    with the sign inverted it is a downwind scheme that explodes (the bug
+    that detonated the squall-line case at minute 20)."""
+    nz = 64
+    rdnw = jnp.full((nz,), -float(nz)).reshape(-1, 1, 1)
+    q0 = jnp.asarray(np.exp(-0.5 * ((np.arange(nz) - 32) / 4.0) ** 2),
+                     jnp.float32).reshape(nz, 1, 1)
+
+    for sign, expect_com in ((+1, 32 - 12), (-1, 32 + 12)):
+        ww = jnp.full((nz + 1, 1, 1), sign * 0.3 / nz)
+        q = q0
+        for _ in range(40):                     # 40 steps x CFL 0.3
+            fz = adv.vflux(ww, q, 1)
+            fz = fz.at[0].set(0.0).at[-1].set(0.0)
+            q = q + (-(fz[1:] - fz[:-1]) * rdnw)
+        a = np.asarray(q)[:, 0, 0]
+        assert a.min() >= 0.0 and a.max() <= 1.0 + 1e-6, \
+            f"1st-order vertical advection non-monotone (sign {sign}): " \
+            f"[{a.min()}, {a.max()}]"
+        com = float((a * np.arange(nz)).sum() / a.sum())
+        assert abs(com - expect_com) < 1.0, \
+            f"peak moved to {com}, expected {expect_com} (sign {sign})"
+
+    # odd-order dissipation must DAMP (not amplify) a 2-dz sawtooth
+    saw = jnp.asarray((-1.0) ** np.arange(nz), jnp.float32).reshape(nz, 1, 1)
+    ww = jnp.full((nz + 1, 1, 1), -0.3 / nz)
+    q = saw
+    for _ in range(10):
+        fz = adv.vflux(ww, q, 3)
+        fz = fz.at[0].set(0.0).at[-1].set(0.0)
+        q = q + (-(fz[1:] - fz[:-1]) * rdnw)
+    amp = float(np.abs(np.asarray(q)[8:-8]).max())
+    assert amp < 1.0, f"3rd-order vertical advection amplifies 2dz noise: {amp}"

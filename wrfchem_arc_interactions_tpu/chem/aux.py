@@ -173,40 +173,115 @@ def plume_rise_profile(heat_mw, u_mean, z_w):
     return jnp.where(empty, w0, w)
 
 
+def _collection_efficiency(d_m: float) -> float:
+    """Raindrop-aerosol collection efficiency E(d): Brownian capture for
+    small particles, inertial impaction for large, with the Greenfield gap
+    (minimum ~1e-3 near 0.3 um) between — the Slinn (1983) shape used by
+    the reference's size-resolved below-cloud scheme."""
+    d_um = d_m * 1e6
+    # E ~ 0.1 at 0.01 um (diffusion), minimum ~1e-3 near 0.3 um, -> O(1)
+    # above ~10 um (Slinn 1983 fig. for ~1 mm drops)
+    e_brown = 0.1 * (0.01 / d_um) ** (4.0 / 3.0)
+    e_impact = (d_um / (d_um + 2.5)) ** 3
+    return float(min(1.0, e_brown + e_impact + 1e-4))
+
+
 def wet_scavenging(chem: Dict[str, jax.Array], qr, dt: float,
-                   gas_names) -> Dict[str, jax.Array]:
-    """First-order scavenging where rain exists: rate ~ 1e-3 s-1 per g/kg
-    of rain water (soluble gases + all aerosol species)."""
+                   gas_names, nbin: int = 4) -> Dict[str, jax.Array]:
+    """Size-resolved precipitation scavenging (canonical:
+    module_wetscav_driver.F + module_mosaic_wetscav.F).
+
+    Aerosol (below-cloud): per-bin coefficient
+    Lambda_b = (3/2) E(d_bin) P / (rho_w D_rain) with rain rate
+    P = rho qr v_t inferred from the local rain water (Kessler fall speed),
+    D_rain = 1 mm effective drop size — small particles (Brownian) and
+    coarse particles (impaction) scavenge fast, accumulation mode sits in
+    the Greenfield gap.  Gases: Henry-law-weighted first-order uptake.
+    """
     soluble = {"hno3": 1.0, "h2so4": 1.0, "nh3": 0.3, "so2": 0.15,
                "h2o2": 0.7, "hcl": 1.0}
-    lam = 1.0e-3 * qr * 1.0e3              # [1/s]
-    fac_aer = jnp.exp(-lam * dt)
+    # rain rate [kg/m2/s] per unit air density: v_t ~ 5 m/s bulk fall speed
+    rain_flux = 1.2 * qr * 5.0                   # rho_air ~ 1.2
+    lam_gas = 1.0e-3 * qr * 1.0e3                # [1/s] legacy gas uptake rate
+    d_rain, rho_w = 1.0e-3, 1000.0
+    diams = mbins.make_bins(nbin).d_center
     out = dict(chem)
     for name, arr in chem.items():
         short = name.replace("chem_", "")
         if "_a" in short:
-            out[name] = arr * fac_aer
+            b = int(short[-2:]) - 1
+            eff = _collection_efficiency(diams[min(b, nbin - 1)])
+            lam_b = 1.5 * eff * rain_flux / (rho_w * d_rain)
+            out[name] = arr * jnp.exp(-lam_b * dt)
         elif short in soluble:
-            out[name] = arr * jnp.exp(-soluble[short] * lam * dt)
+            out[name] = arr * jnp.exp(-soluble[short] * lam_gas * dt)
     return out
+
+
+# Henry constants [M/atm] at 298K and effective dissociation constants
+H_SO2, K1_SO2, K2_SO2 = 1.23, 1.3e-2, 6.6e-8
+H_H2O2, H_O3 = 7.45e4, 1.13e-2
 
 
 def cloud_chemistry(chem: Dict[str, jax.Array], qc, t_air, nbin: int,
                     dt: float) -> Dict[str, jax.Array]:
-    """Bulk aqueous SO2 + H2O2 -> SO4 in cloudy cells (first-order in the
-    limiting reagent; effective rate for pH ~4.5 cloud water)."""
+    """Bulk aqueous S(IV) -> S(VI) with pH-dependent H2O2 AND O3 pathways
+    (canonical: module_cmu_bulkaqchem.F; rate constants per Seinfeld &
+    Pandis ch. 7).
+
+    - cloud-water pH from the strong-acid balance of the activated aerosol:
+      [H+] = max(2[SO4] + [NO3] - [NH4] in cloud water, 1e-7 M);
+    - S(IV) speciation from Henry + first/second dissociation:
+      H_eff = H_SO2 (1 + K1/[H+] + K1 K2/[H+]^2);
+    - H2O2 path k = 7.45e7 [H+]/(1+13[H+]) [HSO3-][H2O2(aq)] — nearly
+      pH-independent; O3 path (k1 [HSO3-] + k2 [SO3--])[O3(aq)] — shuts
+      off below pH ~4.5 (the self-limiting acidification feedback).
+    Consumes so2 + h2o2/o3; produces so4 in the activated (largest) bin.
+    """
     out = dict(chem)
+    if "chem_so2" not in chem:      # aerosol-only package: no S(IV) gases
+        return out
+    lwc = jnp.clip(qc * 1.2, 0.0, None)          # kg water / m3 air (~rho=1.2)
     in_cloud = qc > 1e-6
-    k_aq = 3.0e-3                            # effective [1/s] conversion
-    so2 = chem["chem_so2"]
-    h2o2 = chem["chem_h2o2"]
-    lim = jnp.minimum(so2, h2o2)
-    d = jnp.where(in_cloud, lim * (1.0 - jnp.exp(-k_aq * dt)), 0.0)
-    out["chem_so2"] = so2 - d
-    out["chem_h2o2"] = h2o2 - d
-    dso4 = ppmv_to_ugkg(d, mbins.MW["so4"])
-    # product goes to the activated (cloud-borne) larger bins
-    b_act = nbin                             # largest bin index
+    lwc_l = jnp.maximum(lwc * 1e-3, 1e-9)        # m3 water / m3 air
+
+    # --- pH from activated-aerosol strong acids dissolved in cloud water
+    def _aq_molar(key, mw):
+        ug_m3 = chem.get(key, jnp.zeros_like(qc)) * 1.2   # ug/m3 air
+        return ug_m3 * 1e-6 / mw / (lwc_l * 1e3)          # mol/L water
+    b_act = nbin
+    so4_aq = _aq_molar(f"chem_so4_a{b_act:02d}", mbins.MW["so4"])
+    no3_aq = _aq_molar(f"chem_no3_a{b_act:02d}", mbins.MW["no3"])
+    nh4_aq = _aq_molar(f"chem_nh4_a{b_act:02d}", mbins.MW["nh4"])
+    h_plus = jnp.clip(2.0 * so4_aq + no3_aq - nh4_aq, 1e-7, 1e-3)
+
+    # --- S(IV) speciation (partial pressures in atm: ppmv * 1e-6)
+    p_so2 = chem["chem_so2"] * 1e-6
+    hso3 = H_SO2 * K1_SO2 / h_plus * p_so2               # [HSO3-] M
+    so3 = hso3 * K2_SO2 / h_plus                          # [SO3--] M
+    h2o2_aq = H_H2O2 * chem["chem_h2o2"] * 1e-6
+    o3_aq = H_O3 * chem["chem_o3"] * 1e-6
+
+    k_h2o2 = 7.45e7 * h_plus / (1.0 + 13.0 * h_plus)     # M-1 s-1
+    r_h2o2 = k_h2o2 * h2o2_aq * hso3                     # M/s in cloud water
+    r_o3 = (3.7e5 * hso3 + 1.5e9 * so3) * o3_aq
+
+    # aqueous M/s -> ppmv/s of gas-phase S converted: * lwc_l * 1e3 (mol/m3
+    # air) -> / (air mol/m3 ~ 40) * 1e6 ppmv
+    to_ppmv = lwc_l * 1e3 / 40.0 * 1e6
+    d_h2o2 = jnp.where(in_cloud, r_h2o2 * to_ppmv * dt, 0.0)
+    d_o3 = jnp.where(in_cloud, r_o3 * to_ppmv * dt, 0.0)
+    # limit by available reagents
+    d_h2o2 = jnp.minimum(d_h2o2, jnp.minimum(chem["chem_so2"],
+                                             chem["chem_h2o2"]))
+    d_o3 = jnp.minimum(d_o3, jnp.minimum(chem["chem_so2"] - d_h2o2,
+                                         chem["chem_o3"]))
+    d_o3 = jnp.maximum(d_o3, 0.0)
+
+    out["chem_so2"] = chem["chem_so2"] - d_h2o2 - d_o3
+    out["chem_h2o2"] = chem["chem_h2o2"] - d_h2o2
+    out["chem_o3"] = chem["chem_o3"] - d_o3
+    dso4 = ppmv_to_ugkg(d_h2o2 + d_o3, mbins.MW["so4"])
     key = f"chem_so4_a{b_act:02d}"
     out[key] = chem[key] + dso4
     return out

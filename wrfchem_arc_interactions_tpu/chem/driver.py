@@ -123,9 +123,9 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
         # moving-center bin remap: growth moves particles between sections
         chem = movesect.remap(chem, nbin)
 
-    # 7. wet scavenging
+    # 7. wet scavenging (size-resolved per bin: Greenfield-gap collection)
     if ch.wetscav_onoff:
-        chem = aux.wet_scavenging(chem, qr, dt, gas.GAS_SPECIES)
+        chem = aux.wet_scavenging(chem, qr, dt, gas.GAS_SPECIES, nbin=nbin)
 
     # 8. aerosol optical properties (the ARC direct-effect bridge)
     out = dict(state)

@@ -148,8 +148,19 @@ def _stencil_z(q, nfaces: int):
 
 def vflux(vel_faces, q, order: int):
     """Vertical fluxes at the `vel_faces.shape[0]` faces of levels of q,
-    face k between q[k-1] and q[k]."""
-    return _hflux(vel_faces, _stencil_z(q, vel_faces.shape[0]), order)
+    face k between q[k-1] and q[k].
+
+    SIGN OF THE UPWINDING: eta DECREASES with k (rdnw < 0), so the
+    index-space transport direction is sign(ww * rdnw) = -sign(ww).  The
+    shared flux formulas upwind by sign(vel) along +index; feeding ww
+    directly therefore selects the DOWNWIND cell and flips the odd-order
+    |vel| dissipation into ANTI-diffusion — a latent instability that only
+    bites in strong updrafts (it pumped theta_e by +100 K and detonated the
+    squall-line case at minute 20; see tests/test_advection.py vertical
+    upwind tests).  Evaluating with -ww and negating restores correct
+    upwinding: even orders are algebraically unchanged, odd orders get the
+    dissipation sign right."""
+    return -_hflux(-vel_faces, _stencil_z(q, vel_faces.shape[0]), order)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +266,42 @@ def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
 # Positive-definite limiter (Skamarock 2006; canonical advect_scalar_pd)
 # ---------------------------------------------------------------------------
 
+def limit_low_order(phi_old, lx, ly, lz, dt, grid: Grid, hx):
+    """Donor-cell renormalisation of the FIRST-ORDER upwind fluxes so the
+    transported solution stays non-negative even where the summed outgoing
+    Courant number exceeds 1 (violent convective updrafts).
+
+    The textbook limiters assume the low-order solution is positive by the
+    CFL condition; when a storm breaks that premise the downstream
+    `max(phi, 0)` floors silently CREATE scalar mass — measured as a
+    runaway +6% water source feeding back into latent heating in the
+    squall-line case.  Scaling every face that drains a cell by the same
+    donor factor r = min(1, phi_old/outgoing) restores guaranteed
+    positivity while remaining exactly conservative (each face is scaled
+    once, by its donor's factor)."""
+    rdnw = grid.rdnw.reshape(-1, 1, 1)
+    out_x = jnp.maximum(lx[:, :, 1:], 0.0) - jnp.minimum(lx[:, :, :-1], 0.0)
+    out_y = jnp.maximum(ly[:, 1:, :], 0.0) - jnp.minimum(ly[:, :-1, :], 0.0)
+    up_c = -lz[1:] * rdnw
+    lo_c = lz[:-1] * rdnw
+    out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
+    p_out = dt * (out_x * grid.rdx + out_y * grid.rdy + out_z)
+    r = jnp.where(p_out > 0.0,
+                  jnp.minimum(1.0, jnp.maximum(phi_old, 0.0)
+                              / jnp.maximum(p_out, 1e-30)), 1.0)
+    r_pad = hx.pad(r, 1)
+    rw = lambda dy, dx, ey=0, ex=0: win(r_pad, dy, dx, ey=ey, ex=ex, pad=1)
+    lx_s = lx * jnp.where(lx > 0, rw(0, -1, ex=1), rw(0, 0, ex=1))
+    ly_s = ly * jnp.where(ly > 0, rw(-1, 0, ey=1), rw(0, 0, ey=1))
+    r_ze = _zpad(r, 1)
+    nzf = lz.shape[0]
+    r_lo, r_hi = r_ze[0:nzf], r_ze[1:nzf + 1]
+    # positive lz transports downward, draining the upper cell k (see the
+    # az sign convention in pd_limit)
+    lz_s = lz * jnp.where(lz > 0, r_hi, r_lo)
+    return lx_s, ly_s, lz_s
+
+
 def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
              dt: float, grid: Grid, hx) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Renormalise high-order fluxes so the coupled scalar stays >= 0.
@@ -269,7 +316,9 @@ def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
     ly = flux1(win(rv_pad, 0, 0, ey=1), win(q_pad, -1, 0, ey=1), win(q_pad, 0, 0, ey=1))
     lz = vflux(ww, q_int, 1)
     lz = lz.at[0].set(0.0).at[-1].set(0.0)
-    # first-order transported solution (non-negative for CFL < 1)
+    # rescale so the first-order transported solution is non-negative by
+    # construction (not by assumption — see limit_low_order)
+    lx, ly, lz = limit_low_order(phi_old, lx, ly, lz, dt, grid, hx)
     phi_td = phi_old + dt * flux_div(lx, ly, lz, grid)
     phi_td = jnp.maximum(phi_td, 0.0)
     # antidiffusive fluxes
@@ -319,6 +368,10 @@ def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
     ly = flux1(win(rv_pad, 0, 0, ey=1), win(q_pad, -1, 0, ey=1), win(q_pad, 0, 0, ey=1))
     lz = vflux(ww, q_int, 1)
     lz = lz.at[0].set(0.0).at[-1].set(0.0)
+    # guaranteed-positive low-order solution (see limit_low_order): without
+    # this, phi_td < 0 under summed-CFL > 1 collapses r_minus to 0 and the
+    # downstream floor manufactures scalar mass
+    lx, ly, lz = limit_low_order(phi_old, lx, ly, lz, dt, grid, hx)
     phi_td = phi_old + dt * flux_div(lx, ly, lz, grid)
 
     # local bounds from the 7-point neighborhood of q (old) and q_td

@@ -106,7 +106,10 @@ def _adv_kernel(q_hbm, ru_hbm, rv_hbm, ww_hbm, rdnw_ref, meta_ref, out_ref,
     qe = jnp.concatenate([bot, bot, qi, top, top], axis=0)  # (nz+4, ...)
     # face k (k = 0..nz): qm2..qp1 = qe[k], qe[k+1], qe[k+2], qe[k+3]
     wfull = ww_s[:]                               # (nz+1, ty, nx)
-    fz = _flux3(wfull, qe[0:nz + 1], qe[1:nz + 2], qe[2:nz + 3], qe[3:nz + 4])
+    # index-space upwinding: eta decreases with k, so evaluate the odd-order
+    # formula with -ww and negate (advection.vflux sign contract)
+    fz = -_flux3(-wfull, qe[0:nz + 1], qe[1:nz + 2], qe[2:nz + 3],
+                 qe[3:nz + 4])
     # omega = 0 at the rigid eta boundaries
     zmask = jax.lax.broadcasted_iota(jnp.int32, (nz + 1, 1, 1), 0)
     fz = jnp.where((zmask == 0) | (zmask == nz), 0.0, fz)
