@@ -234,6 +234,38 @@ def test_mesa_phase_state_gates_water():
     assert w[2] > w[1], "water grows with RH"
 
 
+def test_mesa_hysteresis_branch():
+    """Deliquescence/efflorescence hysteresis: between CRH and DRH the phase
+    follows its history (carried by the prognostic aerosol water)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem.mosaic import thermo
+
+    nbin = 4
+    chem = _bins_state(nbin, shp=(1,))
+    chem["chem_so4_a01"] = jnp.full((1,), 5.0)
+    chem["chem_nh4_a01"] = jnp.full((1,), 1.9)
+
+    rh_mid = jnp.asarray([0.60])        # between CRH (~0.36) and DRH (0.80)
+
+    # ascending branch: never deliquesced -> solid at mid RH
+    w_up = np.asarray(thermo.water_uptake(chem, rh_mid, nbin)["chem_water_a01"])
+    assert w_up[0] == 0.0, "ascending branch must stay solid below DRH"
+
+    # deliquesce at high RH, then descend to mid RH carrying its water:
+    # metastable upper branch -> stays liquid
+    chem_wet = dict(chem)
+    chem_wet.update(thermo.water_uptake(chem, jnp.asarray([0.95]), nbin))
+    w_down = np.asarray(
+        thermo.water_uptake(chem_wet, rh_mid, nbin)["chem_water_a01"])
+    assert w_down[0] > 0.0, "descending branch must stay liquid above CRH"
+
+    # below CRH the particle effloresces regardless of history
+    w_dry = np.asarray(
+        thermo.water_uptake(chem_wet, jnp.asarray([0.25]), nbin)["chem_water_a01"])
+    assert w_dry[0] == 0.0, "below CRH the bin must crystallize"
+
+
 def test_resistance_deposition_velocities():
     import numpy as np
     import jax.numpy as jnp

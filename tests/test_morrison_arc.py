@@ -97,3 +97,62 @@ def test_indirect_effect_progn_changes_nc():
     nc_a = float(arc["nc"].max())
     assert nc_a > 0 and nc_b > 0
     assert abs(nc_a - nc_b) / max(nc_a, nc_b) > 0.05
+
+
+def test_hallett_mossop_and_bigg_freezing():
+    """New cold processes: rime splintering multiplies ice number in the
+    -8..-3C window; supercooled rain freezes to graupel when cold."""
+    from wrfchem_arc_interactions_tpu.config import (
+        Config, DomainConfig, PhysicsConfig, TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.config.namelist import MPScheme
+    from wrfchem_arc_interactions_tpu.models import ideal
+    from wrfchem_arc_interactions_tpu.dycore.diagnostics import diagnose
+    from wrfchem_arc_interactions_tpu.physics.microphysics import morrison as mo
+
+    cfg = Config(
+        domain=DomainConfig(nx=4, ny=2, nz=20, dx=1000.0, dy=1000.0,
+                            ztop=16000.0, p_top=10000.0),
+        time_control=TimeControl(dt=10.0),
+        physics=PhysicsConfig(mp_physics=MPScheme.MORRISON2),
+    )
+
+    def run_col(t_target_c, qr0=0.0, qc0=2e-3, qs0=5e-3):
+        grid, state = ideal.make_case(cfg, "quiescent")
+        diag = diagnose(state, grid, cfg.moist_species())
+        pii = np.asarray((diag.p_full / 1e5) ** 0.2857)
+        th = np.asarray(state["t"]) + 300.0
+        t_abs = th * pii
+        # pick the level whose temperature is closest to the target, then
+        # nudge theta so the level sits exactly at the target
+        k = int(np.argmin(np.abs(t_abs[:, 0, 0] - (273.15 + t_target_c))))
+        dth = (273.15 + t_target_c - t_abs[k]) / pii[k]
+        state["t"] = state["t"].at[k].add(jnp.asarray(dth, jnp.float32))
+        z = jnp.zeros_like(state["t"])
+        # saturate the level so cloud water survives the adjustment step
+        from wrfchem_arc_interactions_tpu.physics.microphysics.kessler import _qvs
+        qvs_k = _qvs(diag.p_full[k], jnp.asarray(273.15 + t_target_c))
+        state["qv"] = state["qv"].at[k].set(qvs_k)
+        state["qc"] = z.at[k].set(qc0)
+        state["qs"] = z.at[k].set(qs0)
+        state["ns"] = z.at[k].set(1e4)
+        state["qr"] = z.at[k].set(qr0)
+        state["nr"] = z.at[k].set(1e5 if qr0 > 0 else 0.0)
+        state["nc"] = jnp.full_like(state["t"], 1e8)
+        diag = diagnose(state, grid, cfg.moist_species())
+        out = mo.morrison(state, diag, grid, cfg, 10.0)
+        return {kk: float(np.asarray(v)[k].max()) for kk, v in out.items()
+                if kk in ("qi", "ni", "qg", "qr")}
+
+    # Hallett-Mossop: riming at -5C (inside the window, Cooper inactive)
+    # produces secondary ice; at -2C (outside the window) it must not
+    r_hm = run_col(-5.0)
+    r_edge = run_col(-2.0)
+    assert r_hm["ni"] > 50.0, r_hm
+    assert r_edge["ni"] < 1e-3, r_edge
+
+    # Bigg: supercooled rain at -20C freezes to graupel; at -5C barely
+    f_cold = run_col(-20.0, qr0=1e-3)
+    f_warm = run_col(-5.0, qr0=1e-3)
+    assert f_cold["qg"] > 1e-4, f_cold
+    assert f_cold["qg"] > 10.0 * max(f_warm["qg"], 1e-12), (f_cold, f_warm)

@@ -73,23 +73,51 @@ DRH = {"so4": 0.80, "nh4": 0.80,    # (NH4)2SO4
        "oin": 0.95, "bc": 1.01, "oc": 0.85}
 
 
+# crystallization (efflorescence) RH: the lower hysteresis branch sits far
+# below deliquescence (canonical: (NH4)2SO4 effloresces near 35% RH)
+CRH_FRACTION = 0.45          # CRH ~ 0.45 * DRH of the mix
+
+
 def phase_state(chem: Dict[str, jax.Array], rh, nbin: int):
-    """MESA-style solid/liquid phase flag per bin: liquid where RH exceeds
-    the mole-weighted mutual DRH of the inorganic mix (the mutual DRH of a
-    mixture is below the pure-salt values — captured by the weighting; the
-    efflorescence-hysteresis branch is a documented simplification).
+    """MESA-style solid/liquid phase flag per bin WITH the deliquescence/
+    efflorescence hysteresis branch (canonical: module_mosaic_therm.F MESA
+    jhyst_leg logic).
+
+    - RH above the mole-weighted mutual DRH of the inorganic mix: liquid
+      (the mutual DRH of a mixture sits below the pure-salt values —
+      captured by the mole weighting).
+    - RH below the crystallization RH (CRH ~ 0.45 DRH): solid.
+    - In between, the phase is HISTORY-dependent: a particle that was wet
+      stays wet (the metastable upper branch).  The history carrier is the
+      prognostic aerosol water itself (chem_water_aXX > 0 from the previous
+      chemistry step — advected with the bin, exactly like the reference's
+      hysteresis water), so the branch survives transport and restart.
+
     Returns a list of (nz, ny, nx) liquid fractions in {0, 1}."""
     flags = []
     for b in range(1, nbin + 1):
         mol = None
         drh_mol = None
+        dry_mass = None
         for s in mbins.AER_SPECIES:
             m = chem[f"chem_{s}_a{b:02d}"] / mbins.MW[s]
             mol = m if mol is None else mol + m
             dm = DRH[s] * m
             drh_mol = dm if drh_mol is None else drh_mol + dm
+            dry_mass = (chem[f"chem_{s}_a{b:02d}"] if dry_mass is None
+                        else dry_mass + chem[f"chem_{s}_a{b:02d}"])
         drh_mix = drh_mol / jnp.maximum(mol, 1e-30)
-        flags.append((rh > drh_mix).astype(rh.dtype))
+        crh_mix = CRH_FRACTION * drh_mix
+        was_wet = chem.get(f"chem_water_a{b:02d}")
+        if was_wet is None:
+            on_upper_branch = jnp.zeros_like(rh)
+        else:
+            # "was wet": carried water exceeding a trace of the dry mass
+            on_upper_branch = (was_wet > 1e-3 * jnp.maximum(dry_mass, 1e-30)
+                               ).astype(rh.dtype)
+        liquid = jnp.where(rh > drh_mix, 1.0,
+                           jnp.where(rh > crh_mix, on_upper_branch, 0.0))
+        flags.append(liquid.astype(rh.dtype))
     return flags
 
 

@@ -8,10 +8,11 @@ Prognostic mass/number for cloud, rain, ice, snow, graupel with gamma (mu=0
 represented: activated droplet number from `physics.mixactivate` sources
 prognostic Nc, and the Khairoutdinov-Kogan autoconversion's strong
 Nc^-1.79 dependence carries the second indirect effect (more aerosol ->
-more, smaller droplets -> suppressed rain).  Relative to the reference
-scheme this round omits: rime splintering, sub-stepped supersaturation
-prediction (saturation adjustment instead), and spectral-width (mu>0)
-diagnostics — documented simplifications, structure in place.
+more, smaller droplets -> suppressed rain).  Includes Hallett-Mossop rime
+splintering (secondary ice) and Bigg heterogeneous rain freezing.
+Relative to the reference scheme this round omits: sub-stepped
+supersaturation prediction (saturation adjustment instead) and
+spectral-width (mu>0) diagnostics — documented simplifications.
 
 All process rates are fused elementwise VPU work; sedimentation is the
 same CFL-substepped upwind column pass as Kessler.
@@ -186,6 +187,30 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
         np.pi / 6.0 * RHO_X["g"] * (500e-6) ** 3, 1e-12), 0.0)
     qc = qc - d_rime
     nc = jnp.maximum(nc - d_rime / jnp.maximum(mean_mc, 1e-15), 0.0)
+    # Hallett-Mossop rime splintering (canonical HM process in
+    # module_mp_morr_two_moment.F): secondary ice production of
+    # 3.5e8 splinters per kg rimed, active only in the -8..-3 C window
+    # with a triangular efficiency peaking at -5 C
+    t_c = t_air - T0C
+    hm_eff = jnp.clip(jnp.where(t_c > -5.0, (t_c + 3.0) / (-2.0),
+                                (t_c + 8.0) / 3.0), 0.0, 1.0)
+    n_spl = 3.5e8 * d_rime * hm_eff                 # [#/kg air]
+    m_spl = np.pi / 6.0 * RHO_X["i"] * (10e-6) ** 3  # 10-um splinter mass
+    dq_spl = jnp.minimum(n_spl * m_spl, qs + 1e-30)  # mass robbed from snow
+    ni = ni + n_spl
+    qi = qi + dq_spl
+    qs = jnp.maximum(qs - dq_spl, 0.0)
+    # Bigg (1953) heterogeneous rain freezing -> graupel below -4 C
+    # (exponential in supercooling; effectively instant below ~ -25 C)
+    ts = jnp.maximum(-(t_c + 4.0), 0.0)
+    frz_frac = 1.0 - jnp.exp(-dt * 1.0e-5 * (jnp.exp(0.66 * ts) - 1.0))
+    dq_frz = qr * frz_frac
+    dn_frz = nr * frz_frac
+    qg = qg + dq_frz
+    ng = ng + dn_frz
+    qr = qr - dq_frz
+    nr = jnp.maximum(nr - dn_frz, 0.0)
+    theta = theta + (c.XLF / (c.CP * pii)) * dq_frz
     # melting of snow/graupel/ice above 0C
     warm = t_air > T0C
     melt_fac = jnp.where(warm, jnp.minimum((t_air - T0C) * 0.1 * dt, 1.0), 0.0)
