@@ -238,10 +238,18 @@ class Config:
     @property
     def n_acoustic(self) -> int:
         """Acoustic substeps per RK step (time_step_sound; auto = 4 like WRF's
-        default guidance dt[s] <= 6*dx[km] with 4 sound steps)."""
+        default guidance dt[s] <= 6*dx[km] with 4 sound steps).
+
+        Additionally bound the substep by the explicit buoyancy coupling of
+        the split scheme, N*dtau <~ 0.2 (tropospheric N ~ 0.012 1/s):
+        synoptic configurations with large absolute dt (e.g. dt=120 s at
+        dx=60 km) are acoustically lazy but BUOYANCY-unstable at dtau=30 s —
+        observed as a slow gravity-mode blowup after ~40 steps; dtau <= 16 s
+        keeps N*dtau < 0.2 with margin."""
         ns = self.dynamics.time_step_sound
         if ns <= 0:
             ns = max(4, 2 * int(self.time_control.dt / (self.domain.dx / 1000.0) / 2 + 1))
+        ns = max(ns, int(self.time_control.dt / 16.0) + 1)
         # forward-backward acoustic integration needs an even count on the
         # full-dt stage so the 3-stage RK divides it as ns/3(>=1), ns/2, ns
         return ns + (ns % 2)

@@ -132,8 +132,16 @@ def buoyancy_w(p_pert, eps, mu_pert, grid: Grid) -> jax.Array:
 
 
 def coriolis_uv(u_pad, v_pad, mu_full_pad, grid: Grid) -> Tuple[jax.Array, jax.Array]:
-    """f-plane Coriolis for coupled U, V: +mu_u f v_bar_u, -mu_v f u_bar_v
-    (4-point averages of the opposing wind to the staggered point)."""
+    """Coriolis (+ spherical curvature) for coupled U, V (canonical:
+    module_big_step_utilities_em.F coriolis + curvature).
+
+    Base terms: +mu_u f v_bar_u, -mu_v f u_bar_v (4-point averages of the
+    opposing wind to the staggered point); with a real projection
+    (grid.curvature) f varies with latitude and the shallow-atmosphere
+    curvature terms  du/dt += u v tan(lat)/a,  dv/dt -= u^2 tan(lat)/a
+    are added (traditional approximation: the 2*Omega*cos terms and the
+    u w / a metric terms are omitted, as in hydrostatic-scaling practice).
+    """
     f = grid.f[None]
     # v averaged to u points: mean of v[j], v[j+1] at i-1, i
     v_at_u = 0.25 * (win(v_pad, 0, -1) + win(v_pad, 1, -1)
@@ -142,7 +150,15 @@ def coriolis_uv(u_pad, v_pad, mu_full_pad, grid: Grid) -> Tuple[jax.Array, jax.A
                      + win(u_pad, 0, 0) + win(u_pad, 0, 1))
     mu_u = avg_x_to_u(mu_full_pad)[None]
     mu_v = avg_y_to_v(mu_full_pad)[None]
-    return mu_u * f * v_at_u, -mu_v * f * u_at_v
+    fu = mu_u * f * v_at_u
+    fv = -mu_v * f * u_at_v
+    if grid.curvature:
+        from wrfchem_arc_interactions_tpu.grid.projection import EARTH_R
+        tan_a = jnp.tan(jnp.radians(grid.xlat))[None] / EARTH_R
+        u_at_u = win(u_pad, 0, 0)
+        fu = fu + mu_u * tan_a * u_at_u * v_at_u
+        fv = fv - mu_v * tan_a * u_at_v * u_at_v
+    return fu, fv
 
 
 def omega_diagnosis(ru_pad, rv_pad, grid: Grid, hx) -> Tuple[jax.Array, jax.Array]:

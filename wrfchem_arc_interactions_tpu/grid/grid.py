@@ -61,6 +61,11 @@ class Grid:
     # PGF and the acoustic loop (static: selects the compiled program)
     has_terrain: bool = dataclasses.field(default=False,
                                           metadata=dict(static=True))
+    # real projection: latitude-varying f + spherical-curvature momentum
+    # terms (static; map factors in the flux operators stay 1 this round —
+    # a few-percent effect for mid-latitude limited areas, documented)
+    curvature: bool = dataclasses.field(default=False,
+                                        metadata=dict(static=True))
 
     @property
     def nz(self) -> int:
@@ -129,6 +134,7 @@ def make_grid(cfg: Config,
               lon0: float = 0.0,
               p_surf: float = c.P0,
               stretch: str = "uniform_dz",
+              projection=None,
               dtype=jnp.float32) -> Grid:
     """Construct the grid + dry hydrostatic base state for an ideal case.
 
@@ -200,13 +206,29 @@ def make_grid(cfg: Config,
 
     ones = np.ones((ny, nx))
     arr = lambda a: jnp.asarray(a, dtype)
+    if projection is not None and projection.kind != "cartesian":
+        # real-projection metrics: map factors, latitude-varying Coriolis,
+        # lat/lon for radiation zenith angles (grid/projection.py — the WPS
+        # geogrid role); spherical-curvature momentum terms switch on
+        from wrfchem_arc_interactions_tpu.grid.projection import (
+            projection_fields,
+        )
+        pf = projection_fields(projection, ny, nx, d.dx, d.dy)
+        msft, msfu, msfv = pf["msft"], pf["msfu"], pf["msfv"]
+        f_field, xlat, xlong = pf["f"], pf["xlat"], pf["xlong"]
+        curvature = True
+    else:
+        msft = msfu = msfv = ones
+        f_field = f0 * ones
+        xlat, xlong = lat0 * ones, lon0 * ones
+        curvature = False
     return Grid(
         znw=arr(znw), znu=arr(znu), dnw=arr(dnw), rdnw=arr(rdnw),
         dn=arr(dn), rdn=arr(rdn), fnp=arr(fnp), fnm=arr(fnm),
         mub=arr(mub), pb=arr(pb), alb=arr(alb), phb=arr(phb), t_init=arr(t_init),
-        msft=arr(ones), msfu=arr(ones), msfv=arr(ones),
-        f=arr(f0 * ones), ht=arr(terrain),
-        xlat=arr(lat0 * ones), xlong=arr(lon0 * ones),
+        msft=arr(msft), msfu=arr(msfu), msfv=arr(msfv),
+        f=arr(f_field), ht=arr(terrain),
+        xlat=arr(xlat), xlong=arr(xlong),
         dx=float(d.dx), dy=float(d.dy), p_top=float(d.p_top),
-        has_terrain=has_terrain,
+        has_terrain=has_terrain, curvature=curvature,
     )
