@@ -229,28 +229,31 @@ J_CLEAR = {
 PHOT_NAMES = tuple(J_CLEAR.keys())
 
 
-def _build_tables():
+def build_tables(reactions, idx, ns):
     """Dense stoichiometry matrices: loss L (ns, nrxn) reactant orders and
-    net production P (ns, nrxn)."""
-    order = np.zeros((NS, NR_RXN))
-    net = np.zeros((NS, NR_RXN))
+    net production P (ns, nrxn). Shared by the built-in mechanism and
+    mechanisms compiled from .eqn files (chem/mechanism.py, the KPP-analog
+    toolchain)."""
+    nr = len(reactions)
+    order = np.zeros((ns, nr))
+    net = np.zeros((ns, nr))
     rate_kind = []
     rate_params = []
-    for j, (reacts, prods, spec) in enumerate(REACTIONS):
+    for j, (reacts, prods, spec) in enumerate(reactions):
         for s in reacts:
-            order[IDX[s], j] += 1.0
-            net[IDX[s], j] -= 1.0
+            order[idx[s], j] += 1.0
+            net[idx[s], j] -= 1.0
         for prod in prods:
             if not prod:
                 continue   # pure-loss reaction, e.g. OH + HO2 -> H2O
             s, st = prod
-            net[IDX[s], j] += st
+            net[idx[s], j] += st
         rate_kind.append(spec[0])
-        rate_params.append(spec[1:])
+        rate_params.append(tuple(spec[1:]))
     return order, net, rate_kind, rate_params
 
 
-_ORDER, _NET, _RKIND, _RPARAMS = _build_tables()
+_ORDER, _NET, _RKIND, _RPARAMS = build_tables(REACTIONS, IDX, NS)
 
 
 def rate_constants(t_air: jax.Array, m_air: jax.Array,
