@@ -117,3 +117,44 @@ def test_time_interpolated_boundary():
     assert np.allclose(np.asarray(mid), 0.25)
     late = bdy.at_time(jnp.float32(1000.0))["t"]   # clamped
     assert np.allclose(np.asarray(late), 1.0)
+
+
+@pytest.mark.slow
+def test_specified_bc_sharded_matches_single_device():
+    """Specified/relaxation BCs under a 2x4 device mesh: the Davies
+    operator (including its halo-exchanged relax-zone Laplacian) must be
+    decomposition-invariant against the single-device run."""
+    import jax
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+    from wrfchem_arc_interactions_tpu.models.lateral_bc import (
+        constant_boundary,
+    )
+    from wrfchem_arc_interactions_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(
+        domain=DomainConfig(nx=40, ny=8, nz=12, dx=2000.0, dy=2000.0,
+                            ztop=12000.0, p_top=20000.0),
+        time_control=TimeControl(dt=8.0),
+        dynamics=DynamicsConfig(bc_x=BCKind.SPECIFIED, bc_y=BCKind.PERIODIC,
+                                kvdif=20.0),
+    )
+    grid, state = ideal.make_case(cfg, "quiescent")
+    tgt = {k: state[k] for k in ("u", "v", "w", "t", "mu", "ph", "qv")
+           if k in state}
+    tgt["u"] = jnp.full_like(state["u"], 5.0)
+    bdy = constant_boundary(tgt)
+
+    sim1 = Simulation(cfg, grid, state, boundary=bdy)
+    sim1.advance(12)
+
+    sim8 = Simulation(cfg, grid, state, boundary=bdy, mesh=make_mesh(2, 4))
+    sim8.advance(12)
+
+    for name, tol in (("u", 5e-3), ("v", 5e-3), ("w", 5e-3), ("t", 5e-3),
+                      ("mu", 0.1), ("ph", 0.2)):
+        d = float(jnp.max(jnp.abs(sim1.state[name]
+                                  - jax.device_get(sim8.state[name]))))
+        assert d < tol, f"{name}: sharded specified-BC diff {d}"
+    # the inflow actually happened
+    assert float(jnp.asarray(sim8.state["u"])[5, 3, 0]) == pytest.approx(
+        5.0, abs=1e-3)

@@ -61,10 +61,6 @@ class Simulation:
                 or cfg.dynamics.bc_y == BCKind.SPECIFIED):
             if boundary is None:
                 raise ValueError("specified BCs need a LateralBoundary")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "specified BCs under a device mesh: shard the boundary "
-                    "pytree (scheduled next round)")
             from wrfchem_arc_interactions_tpu.models.lateral_bc import (
                 make_specified_bc,
             )
@@ -124,15 +120,37 @@ class Simulation:
             if key == "main":
                 spec_bc = self.spec_bc
                 if spec_bc is not None:
-                    # boundary data is a traced ARGUMENT (not baked into the
-                    # executable): nesting swaps the snapshots every parent
-                    # step without recompiling (mesh=None guaranteed here)
-                    def fn_bdy(s, g, t_s, bdy):
+                    # boundary data + zone masks are traced ARGUMENTS (not
+                    # baked into the executable): nesting swaps the
+                    # snapshots every parent step without recompiling, and
+                    # under a mesh they shard like the state fields
+                    import dataclasses as _dc
+
+                    def fn_bdy(s, g, t_s, bdy, spec_mask, relax_w):
                         s, tend = pre_dynamics(s, g, cfg, hx, dt, False, t_s)
                         s = dyn_step(s, g, cfg, hx, dt, tend)
                         s = post_dynamics(s, g, cfg, hx, dt, False)
-                        return spec_bc.apply(s, bdy, t_s, dt)
+                        sb = _dc.replace(spec_bc, spec_mask=spec_mask,
+                                         relax_w=relax_w)
+                        return sb.apply(s, bdy, t_s, dt, hx=hx)
 
+                    if self.mesh is not None:
+                        from jax.sharding import PartitionSpec as P
+                        from wrfchem_arc_interactions_tpu.models.lateral_bc import (
+                            LateralBoundary,
+                        )
+                        sp2d = P("my", "mx")
+                        sspec = self._s_specs
+                        bspec = lambda d: {k: sspec.get(k, sp2d) for k in d}
+                        bdy0 = self.boundary
+                        bdy_specs = LateralBoundary(
+                            lo=bspec(bdy0.lo), hi=bspec(bdy0.hi),
+                            t_lo=P(), t_hi=P())
+                        fn_bdy = jax.shard_map(
+                            fn_bdy, mesh=self.mesh,
+                            in_specs=(sspec, self._g_specs, P(), bdy_specs,
+                                      sp2d, sp2d),
+                            out_specs=sspec)
                     self._steppers[key] = jax.jit(fn_bdy)
                     return self._steppers[key]
 
@@ -189,8 +207,9 @@ class Simulation:
                     self.phase_times["rad"] += t1 - t0
                     t0 = t1
             if self.spec_bc is not None:
-                self.state = self._stepper("main")(self.state, self.grid,
-                                                   t_now, self.boundary)
+                self.state = self._stepper("main")(
+                    self.state, self.grid, t_now, self.boundary,
+                    self.spec_bc.spec_mask, self.spec_bc.relax_w)
             else:
                 self.state = self._stepper("main")(self.state, self.grid, t_now)
             jax.block_until_ready(self.state["t"])

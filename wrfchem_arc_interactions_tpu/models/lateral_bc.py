@@ -105,7 +105,12 @@ class SpecifiedBC:
     spec_names: Tuple[str, ...]
     relax_names: Tuple[str, ...]
 
-    def apply(self, state: State, bdy: LateralBoundary, time_s, dt) -> State:
+    def apply(self, state: State, bdy: LateralBoundary, time_s, dt,
+              hx=None) -> State:
+        """Apply the Davies zones.  Under shard_map pass the HaloOps `hx`
+        (and shard-local spec_mask/relax_w via dataclasses.replace): the
+        deviation Laplacian then rides a 1-cell ppermute exchange instead
+        of a local edge pad, making the operator decomposition-invariant."""
         tgt = bdy.at_time(time_s)
         out = dict(state)
         f1 = self.relax_w / (10.0 * dt)
@@ -118,11 +123,18 @@ class SpecifiedBC:
             t = tgt[name]
             if name in self.relax_names:
                 dev = t - q
-                # 5-point Laplacian of the deviation (edge-replicated, so
-                # the diffusive term vanishes on the outermost ring)
-                devp = jnp.pad(dev,
-                               [(0, 0)] * (dev.ndim - 2) + [(1, 1), (1, 1)],
-                               mode="edge")
+                # 5-point Laplacian of the deviation (edge-replicated at
+                # the domain boundary, so the diffusive term vanishes on
+                # the outermost ring; halo-exchanged at shard seams)
+                if hx is not None and getattr(hx, "sharded", False):
+                    three_d = dev.ndim == 3
+                    devp = hx.pad(dev if three_d else dev[None], 1)
+                    if not three_d:
+                        devp = devp[0]
+                else:
+                    devp = jnp.pad(
+                        dev, [(0, 0)] * (dev.ndim - 2) + [(1, 1), (1, 1)],
+                        mode="edge")
                 lap = (devp[..., 1:-1, 2:] + devp[..., 1:-1, :-2]
                        + devp[..., 2:, 1:-1] + devp[..., :-2, 1:-1]
                        - 4.0 * dev)
