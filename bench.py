@@ -1,26 +1,32 @@
 """Headline benchmark: grid-points/s/chip for the BASELINE config-3 step —
 3D dycore + RRTMG SW/LW on the radt alarm + aerosol optics from fixed
 MOSAIC bins (BASELINE.md metric; the TPU translation of WRF's `Timing for
-main` step-time protocol) — plus, in the same single JSON line:
+main` step-time protocol).
 
-- "breakdown": amortized per-phase step time [ms] (dycore main / radiation
-  / chemistry executables, synchronized separately);
-- "config4": BASELINE config-4 throughput — the interactive-ARC step
-  (CBM-Z gas chem + Fast-J photolysis + MOSAIC aerosol dynamics + Mie
-  optics recomputed each radiation call + activation->Morrison Nc);
-- "scaling": per-chip throughput at N=1 and a pointer to the harness
-  (scripts/scaling.py) that produces the multi-chip efficiency number when
-  hardware with >1 chip exists.
+Output contract (the driver runs `python bench.py` ONCE under a timeout and
+parses a JSON line from the output tail):
 
-Reports the *time-amortised* full step: N steps including their share of
-radiation/chem alarm calls, as the reference community benchmark does.
+1. The config-3 headline JSON line is printed and flushed the MOMENT the
+   measurement finishes — nothing else is allowed to delay it.  The
+   measurement itself runs in a time-boxed subprocess; if the TPU service
+   is down/hung, a CPU-backend fallback produces a (clearly labelled)
+   number rather than nothing.
+2. Everything else (config-4 interactive-ARC throughput, per-phase
+   breakdown detail) is best-effort EXTRA work written to
+   `artifacts/BENCH_extras.json`, never stdout, so it cannot displace the
+   headline line no matter how the driver's parser picks lines.
+
 The reference publishes no numbers (BASELINE.json "published": {}), so
 vs_baseline is 1.0 against the driver-recorded history.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def _cfg3(nx=100, ny=100, nz=50):
@@ -104,10 +110,9 @@ def _run(cfg, n_warm, n_time, gas=False):
 def _enable_cache():
     # persistent executable cache: the axon remote-compile service is slow
     # and flaky under load; cache hits make reruns (and driver reruns)
-    # independent of its health
+    # independent of its health.  The cache dir is local-only (gitignored).
     import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = os.path.join(_HERE, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -116,71 +121,97 @@ def _enable_cache():
         pass
 
 
-def main():
-    import jax
-    _enable_cache()
-
-    # config 3 headline: one full radt cycle = 100 steps at dt=6/radt=600
-    gps3, step3, phases3 = _run(_cfg3(), n_warm=3, n_time=100)
-
-    # config 4 (interactive ARC): one radt cycle; chem fires every 10 steps.
-    # The CBM-Z executable is a large compile on the axon remote-compile
-    # service, so this part is time-boxed in a subprocess — the headline
-    # line must land even if the service is slow (driver runs bench once).
-    config4 = {"skipped": "time budget exceeded"}
+def _child(args, timeout, env_extra=None):
+    """Run this file as a subprocess entry, return its parsed JSON or None."""
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
     try:
-        import subprocess
-        import sys as _sys
-        r = subprocess.run(
-            [_sys.executable, os.path.abspath(__file__), "--config4"],
-            capture_output=True, text=True, timeout=1500)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                           capture_output=True, text=True, timeout=timeout,
+                           env=env)
         for line in r.stdout.splitlines():
             if line.startswith("{"):
-                config4 = json.loads(line)
+                return json.loads(line)
+        sys.stderr.write(f"bench child {args}: no JSON (rc={r.returncode})\n"
+                         + r.stderr[-2000:] + "\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench child {args}: timeout after {timeout}s\n")
     except Exception as e:
-        config4 = {"skipped": repr(e)}
+        sys.stderr.write(f"bench child {args}: {e!r}\n")
+    return None
 
+
+def config3_main(n_warm=3, n_time=100):
+    """Subprocess entry: measure config 3, one JSON line."""
+    _enable_cache()
+    import jax
+    gps3, step3, phases3 = _run(_cfg3(), n_warm=n_warm, n_time=n_time)
     print(json.dumps({
-        "metric": "grid-points/s/chip (dycore+RRTMG+aerosol-optics step, 100x100x50)",
-        "value": round(gps3, 1),
-        "unit": "gridpoints/s",
-        "vs_baseline": 1.0,
+        "gridpoints_per_s_per_chip": round(gps3, 1),
+        "ms_per_step": round(1e3 * step3, 2),
         "breakdown_ms_per_step": {k: round(v, 2) for k, v in phases3.items()},
-        "config4_interactive_arc": config4,
-        "scaling": {
-            "n_chips": len(jax.devices()),
-            "per_chip_gridpoints_per_s": round(gps3, 1),
-            "harness": "scripts/scaling.py (virtual-mesh shape on CPU; "
-                       "emits efficiency vs N on real multi-chip slices)",
-        },
+        "backend": jax.devices()[0].platform,
     }))
 
 
 def config4_main():
-    """Subprocess entry: the interactive-ARC benchmark alone, one JSON line.
-    Smaller steps-per-cycle than config 3 (chem every 10 steps dominates)."""
+    """Subprocess entry: the interactive-ARC benchmark alone, one JSON line."""
     _enable_cache()
+    import jax
     gps4, step4, phases4 = _run(_cfg4(), n_warm=2, n_time=50, gas=True)
     print(json.dumps({
         "gridpoints_per_s_per_chip": round(gps4, 1),
         "ms_per_step": round(1e3 * step4, 2),
         "breakdown_ms_per_step": {k: round(v, 2) for k, v in phases4.items()},
+        "backend": jax.devices()[0].platform,
     }))
 
 
-if __name__ == "__main__":
-    import sys
-
-    if "--config4" in sys.argv:
-        config4_main()
-        sys.exit(0)
-
-    for attempt in range(3):
-        try:
-            main()
+def main():
+    # -- headline: config 3, retried, then CPU fallback; flush immediately --
+    r3 = None
+    for attempt in range(2):
+        r3 = _child(["--config3"], timeout=2000)
+        if r3 is not None:
             break
-        except Exception as e:  # transient TPU-service faults: retry
-            print(f"bench attempt {attempt + 1} failed: {e!r}", file=sys.stderr)
-            if attempt == 2:
-                raise
-            time.sleep(90)
+        time.sleep(10)
+    if r3 is None:
+        # TPU service down: a measured CPU number beats no number
+        r3 = _child(["--config3-small"], timeout=1500,
+                    env_extra={"JAX_PLATFORMS": "cpu"})
+    if r3 is None:
+        r3 = {"gridpoints_per_s_per_chip": 0.0, "ms_per_step": None,
+              "breakdown_ms_per_step": {}, "backend": "none (all attempts failed)"}
+
+    print(json.dumps({
+        "metric": "grid-points/s/chip (dycore+RRTMG+aerosol-optics step, 100x100x50)",
+        "value": r3["gridpoints_per_s_per_chip"],
+        "unit": "gridpoints/s",
+        "vs_baseline": 1.0,
+        "backend": r3.get("backend"),
+        "breakdown_ms_per_step": r3.get("breakdown_ms_per_step", {}),
+    }), flush=True)
+
+    # -- extras: best-effort, artifacts file only (never stdout) ------------
+    extras = {"config3": r3}
+    extras["config4_interactive_arc"] = (
+        _child(["--config4"], timeout=1200)
+        or {"skipped": "time budget exceeded or service down"})
+    try:
+        os.makedirs(os.path.join(_HERE, "artifacts"), exist_ok=True)
+        with open(os.path.join(_HERE, "artifacts", "BENCH_extras.json"), "w") as f:
+            json.dump(extras, f, indent=1)
+    except Exception as e:
+        sys.stderr.write(f"bench extras write failed: {e!r}\n")
+
+
+if __name__ == "__main__":
+    if "--config3" in sys.argv:
+        config3_main()
+    elif "--config3-small" in sys.argv:
+        config3_main(n_warm=1, n_time=10)
+    elif "--config4" in sys.argv:
+        config4_main()
+    else:
+        main()

@@ -249,7 +249,10 @@ class Config:
         ns = self.dynamics.time_step_sound
         if ns <= 0:
             ns = max(4, 2 * int(self.time_control.dt / (self.domain.dx / 1000.0) / 2 + 1))
-        ns = max(ns, int(self.time_control.dt / 16.0) + 1)
+            # buoyancy bound applies only on the auto path: an explicit
+            # namelist time_step_sound is honored verbatim (the reference
+            # never overrides an explicit setting either)
+            ns = max(ns, int(self.time_control.dt / 16.0) + 1)
         # forward-backward acoustic integration needs an even count on the
         # full-dt stage so the 3-stage RK divides it as ns/3(>=1), ns/2, ns
         return ns + (ns % 2)

@@ -55,6 +55,10 @@ def _dim_names(cfg: Config, name: str, shape) -> list:
     """WRF-ish dimension names; lengths that differ from the mass-point grid
     get a length suffix so netCDF dim names stay unique per length."""
     expect = (cfg.domain.nz, cfg.domain.ny, cfg.domain.nx)
+    # 1D z-coordinate arrays (znu/znw, length nz or nz+1) would otherwise
+    # right-align against west_east; give them the WRF vertical dim name
+    if len(shape) == 1 and shape[0] in (cfg.domain.nz, cfg.domain.nz + 1):
+        return ["bottom_top" if shape[0] == cfg.domain.nz else "bottom_top_stag"]
     k = min(len(shape), 3)
     lead = [f"{name}_d{i}" for i in range(len(shape) - k)]
     tail = []

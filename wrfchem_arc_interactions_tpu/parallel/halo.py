@@ -45,7 +45,11 @@ def _bc_strip(a: jax.Array, axis: int, width: int, bc: BCKind, side: str) -> jax
     """Physical-boundary halo fill for the `side` ('lo'|'hi') of `axis`."""
     n = a.shape[axis]
     idx = [slice(None)] * a.ndim
-    if bc == BCKind.OPEN:
+    if bc in (BCKind.OPEN, BCKind.SPECIFIED):
+        # SPECIFIED halos are edge-replicated like OPEN: the outermost row is
+        # pinned to boundary data post-step (models/lateral_bc.py), so the
+        # halo beyond it only needs a consistent extrapolation (same mapping
+        # as _bc_mode's SPECIFIED->'edge')
         idx[axis] = slice(0, 1) if side == "lo" else slice(n - 1, n)
         strip = a[tuple(idx)]
         reps = [1] * a.ndim

@@ -197,6 +197,9 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
     n_spl = 3.5e8 * d_rime * hm_eff                 # [#/kg air]
     m_spl = np.pi / 6.0 * RHO_X["i"] * (10e-6) ** 3  # 10-um splinter mass
     dq_spl = jnp.minimum(n_spl * m_spl, qs + 1e-30)  # mass robbed from snow
+    # keep splinter number consistent with the (possibly snow-limited) mass
+    # transfer so ice number never appears without corresponding mass
+    n_spl = dq_spl / m_spl
     ni = ni + n_spl
     qi = qi + dq_spl
     qs = jnp.maximum(qs - dq_spl, 0.0)
