@@ -167,16 +167,24 @@ def vflux(vel_faces, q, order: int):
 # Flux divergence
 # ---------------------------------------------------------------------------
 
-def flux_div(fx, fy, fz, grid: Grid) -> jax.Array:
-    """-(d/dx Fx + d/dy Fy + d/eta Fz): the coupled-scalar tendency.
+def flux_div(fx, fy, fz, grid: Grid, m_h=None) -> jax.Array:
+    """-(m_h (d/dx Fx + d/dy Fy) + d/eta Fz): the coupled-scalar tendency.
 
     fx: (nz, ny, nx+1) at west faces (+ east boundary face),
     fy: (nz, ny+1, nx), fz: (nz+1, ny, nx) at w levels.
+
+    ``m_h`` is the map-factor scaling of the horizontal divergence at the
+    control-volume centre: msft^2 for mass-point scalars (ARW flux form
+    m_x m_y [d_x(Uq) + d_y(Vq)] with U = mu u / m), msfu/msfv/msft for the
+    U/V/W momentum equations (single m; canonical: the msf handling of
+    module_advect_em.F).  None (ideal, m == 1) keeps the flat-metric form.
     """
     rdnw = grid.rdnw.reshape(-1, 1, 1)
-    return -((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
-             + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy
-             + (fz[1:] - fz[:-1]) * rdnw)
+    hdiv = ((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
+            + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy)
+    if m_h is not None:
+        hdiv = m_h[None] * hdiv
+    return -(hdiv + (fz[1:] - fz[:-1]) * rdnw)
 
 
 def scalar_fluxes(q_pad, ru_pad, rv_pad, ww, h_order: int, v_order: int):
@@ -198,7 +206,8 @@ def v_order_to_h(h_order: int) -> int:
 def advect_scalar(q_pad, ru_pad, rv_pad, ww, grid: Grid,
                   h_order: int = 5, v_order: int = 3) -> jax.Array:
     fx, fy, fz = scalar_fluxes(q_pad, ru_pad, rv_pad, ww, h_order, v_order)
-    return flux_div(fx, fy, fz, grid)
+    m2 = grid.msft * grid.msft if grid.has_msf else None
+    return flux_div(fx, fy, fz, grid, m_h=m2)
 
 
 # ---------------------------------------------------------------------------
@@ -216,11 +225,15 @@ def advect_u(u_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
     # y fluxes at corners (j-1/2, i-1/2)
     vel_k = 0.5 * (win(rv_pad, 0, -1, ey=1) + win(rv_pad, 0, 0, ey=1))
     fy = _hflux(vel_k, _stencil_y(u_pad), h_order)
-    # z fluxes at (w-level, u-face)
+    # z fluxes at (w-level, u-face); vertical transport velocity is
+    # Omega_u = ww_u / m_u (ww carries mu*eta_dot = m * Omega)
     ww_u = 0.5 * (win(ww_pad, 0, -1) + win(ww_pad, 0, 0))
+    if grid.has_msf:
+        ww_u = ww_u / grid.msfu[None]
     fz = vflux(ww_u, win(u_pad, 0, 0), v_order)
     fz = fz.at[0].set(0.0).at[-1].set(0.0)
-    return flux_div(fx, fy, fz, grid)
+    return flux_div(fx, fy, fz, grid,
+                    m_h=grid.msfu if grid.has_msf else None)
 
 
 def advect_v(v_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
@@ -230,9 +243,12 @@ def advect_v(v_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
     vel_c = 0.5 * (win(rv_pad, -1, 0, ey=1) + win(rv_pad, 0, 0, ey=1))
     fy = _hflux(vel_c, _stencil_y(v_pad), h_order)
     ww_v = 0.5 * (win(ww_pad, -1, 0) + win(ww_pad, 0, 0))
+    if grid.has_msf:
+        ww_v = ww_v / grid.msfv[None]
     fz = vflux(ww_v, win(v_pad, 0, 0), v_order)
     fz = fz.at[0].set(0.0).at[-1].set(0.0)
-    return flux_div(fx, fy, fz, grid)
+    return flux_div(fx, fy, fz, grid,
+                    m_h=grid.msfv if grid.has_msf else None)
 
 
 def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
@@ -247,6 +263,8 @@ def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
     fy = _hflux(rv_w, _stencil_y(w_pad), h_order)
     # vertical flux of w at mass levels: omega averaged to centers
     om_c = 0.5 * (ww[:-1] + ww[1:])                     # (nz, ny, nx)
+    if grid.has_msf:
+        om_c = om_c / grid.msft[None]
     w_int = win(w_pad, 0, 0)                            # (nz+1, ny, nx)
     fz_c = vflux(om_c, w_int[1:], v_order)              # faces between w levels k, k+1
     # divergence at w level k uses fluxes at mass levels k-1, k over dn[k]
@@ -258,8 +276,11 @@ def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
         jnp.zeros_like(fz_c[:1]),
         (fz_hi[1:] - fz_lo[1:]) * rdn_w,
     ], axis=0)
-    return -((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
-             + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy) - dfz
+    hdiv = ((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
+            + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy)
+    if grid.has_msf:
+        hdiv = grid.msft[None] * hdiv
+    return -hdiv - dfz
 
 
 # ---------------------------------------------------------------------------
@@ -280,12 +301,13 @@ def limit_low_order(phi_old, lx, ly, lz, dt, grid: Grid, hx):
     positivity while remaining exactly conservative (each face is scaled
     once, by its donor's factor)."""
     rdnw = grid.rdnw.reshape(-1, 1, 1)
+    m2 = (grid.msft * grid.msft)[None] if grid.has_msf else 1.0
     out_x = jnp.maximum(lx[:, :, 1:], 0.0) - jnp.minimum(lx[:, :, :-1], 0.0)
     out_y = jnp.maximum(ly[:, 1:, :], 0.0) - jnp.minimum(ly[:, :-1, :], 0.0)
     up_c = -lz[1:] * rdnw
     lo_c = lz[:-1] * rdnw
     out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
-    p_out = dt * (out_x * grid.rdx + out_y * grid.rdy + out_z)
+    p_out = dt * (m2 * (out_x * grid.rdx + out_y * grid.rdy) + out_z)
     r = jnp.where(p_out > 0.0,
                   jnp.minimum(1.0, jnp.maximum(phi_old, 0.0)
                               / jnp.maximum(p_out, 1e-30)), 1.0)
@@ -319,7 +341,9 @@ def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
     # rescale so the first-order transported solution is non-negative by
     # construction (not by assumption — see limit_low_order)
     lx, ly, lz = limit_low_order(phi_old, lx, ly, lz, dt, grid, hx)
-    phi_td = phi_old + dt * flux_div(lx, ly, lz, grid)
+    m2 = (grid.msft * grid.msft) if grid.has_msf else None
+    m2v = m2[None] if m2 is not None else 1.0
+    phi_td = phi_old + dt * flux_div(lx, ly, lz, grid, m_h=m2)
     phi_td = jnp.maximum(phi_td, 0.0)
     # antidiffusive fluxes
     ax, ay, az = fx - lx, fy - ly, fz - lz
@@ -333,7 +357,7 @@ def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
     up_c = -az[1:] * rdnw    # contribution of upper face to +d(phi)/dt
     lo_c = az[:-1] * rdnw    # contribution of lower face
     out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
-    p_out = dt * (out_x * grid.rdx + out_y * grid.rdy + out_z)
+    p_out = dt * (m2v * (out_x * grid.rdx + out_y * grid.rdy) + out_z)
     r = jnp.where(p_out > 0.0, jnp.minimum(1.0, phi_td / jnp.maximum(p_out, 1e-30)), 1.0)
     r_pad = hx.pad(r, 1)
     rw = lambda dy, dx, ey=0, ex=0: win(r_pad, dy, dx, ey=ey, ex=ex, pad=1)
@@ -372,7 +396,9 @@ def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
     # this, phi_td < 0 under summed-CFL > 1 collapses r_minus to 0 and the
     # downstream floor manufactures scalar mass
     lx, ly, lz = limit_low_order(phi_old, lx, ly, lz, dt, grid, hx)
-    phi_td = phi_old + dt * flux_div(lx, ly, lz, grid)
+    m2 = (grid.msft * grid.msft) if grid.has_msf else None
+    m2v = m2[None] if m2 is not None else 1.0
+    phi_td = phi_old + dt * flux_div(lx, ly, lz, grid, m_h=m2)
 
     # local bounds from the 7-point neighborhood of q (old) and q_td
     q_td = phi_td / mu_new[None]
@@ -402,9 +428,9 @@ def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
     up_c = -az[1:] * rdnw
     lo_c = az[:-1] * rdnw
     in_z = jnp.maximum(up_c, 0.0) + jnp.maximum(lo_c, 0.0)
+    p_in = dt * (m2v * (in_x * grid.rdx + in_y * grid.rdy) + in_z)
     out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
-    p_in = dt * (in_x * grid.rdx + in_y * grid.rdy + in_z)
-    p_out = dt * (out_x * grid.rdx + out_y * grid.rdy + out_z)
+    p_out = dt * (m2v * (out_x * grid.rdx + out_y * grid.rdy) + out_z)
     r_plus = jnp.where(p_in > 0.0,
                        jnp.minimum(1.0, (phi_max - phi_td) / jnp.maximum(p_in, 1e-30)),
                        1.0)

@@ -4,9 +4,23 @@ dyn_em/module_big_step_utilities_em.F + the tendency assembly of
 module_em.F rk_tendency; SURVEY.md §2.1).
 
 All horizontal-stencil inputs are PAD-padded arrays (see ops.stencil);
-outputs are interior-sized *coupled* tendencies.  Flat map factors (ideal
-cases: msft = 1) and f-plane Coriolis; curvature terms are out of round-1
-scope and documented as such.
+outputs are interior-sized *coupled* tendencies.
+
+Map-scale factors (grid.has_msf, real projections): the coupled momentum
+variables are U = mu_d u / m_u, V = mu_d v / m_v, W = mu_d w / m_t and the
+code's omega (ww) carries mu eta_dot = m_t * Omega.  In this arrangement
+(ARW tech-note eqs. 2.19-2.23 with isotropic m_x = m_y = m):
+
+- the horizontal PGF terms keep their flat form (their (m_x/m_y) prefactor
+  is 1 for the conformal projections supported);
+- flux divergences pick up m (momentum) or m^2 (mass-point scalars);
+- the buoyancy of the coupled W equation and the g W term of the
+  geopotential equation pick up 1/m and m respectively;
+- Coriolis generalises to f_eff = f + u dm/dy - v dm/dx (which contains
+  the spherical curvature u tan(lat)/a exactly on a Mercator grid).
+
+With m == 1 every branch reduces bit-exactly to the flat-metric path
+(tests/test_map_factors.py).
 
 Perturbation arrangement for f32 accuracy: horizontal gradients act on
 perturbation p' and phi' (the base state is horizontally uniform, so
@@ -128,19 +142,30 @@ def buoyancy_w(p_pert, eps, mu_pert, grid: Grid) -> jax.Array:
     dpdn_w = ddz_faces(p_pert, grid)                     # (nz+1,...)
     eps_w = avg_z_centers_to_faces(eps, grid.fnm, grid.fnp)
     buoy = G * (eps_w * dpdn_w + grid.mub[None] * (eps_w - 1.0) - mu_pert[None])
+    if grid.has_msf:
+        # coupled-W equation: the buoyancy enters as g[...]/m_t (tech-note
+        # 2.21 with W = mu w / m)
+        buoy = buoy / grid.msft[None]
     return buoy.at[0].set(0.0)
 
 
 def coriolis_uv(u_pad, v_pad, mu_full_pad, grid: Grid) -> Tuple[jax.Array, jax.Array]:
-    """Coriolis (+ spherical curvature) for coupled U, V (canonical:
+    """Coriolis + conformal curvature for coupled U, V (canonical:
     module_big_step_utilities_em.F coriolis + curvature).
 
-    Base terms: +mu_u f v_bar_u, -mu_v f u_bar_v (4-point averages of the
-    opposing wind to the staggered point); with a real projection
-    (grid.curvature) f varies with latitude and the shallow-atmosphere
-    curvature terms  du/dt += u v tan(lat)/a,  dv/dt -= u^2 tan(lat)/a
-    are added (traditional approximation: the 2*Omega*cos terms and the
-    u w / a metric terms are omitted, as in hydrostatic-scaling practice).
+    Base terms: +(mu_u/m_u) f_eff v_bar_u, -(mu_v/m_v) f_eff u_bar_v
+    (4-point averages of the opposing wind to the staggered point; the /m
+    couples the force into the U = mu u / m momentum units).  With a real
+    projection (grid.curvature) f varies with latitude and the curvature
+    generalises to the conformal-map form
+
+        f_eff = f + u dm/dy - v dm/dx
+
+    which contains the spherical shallow-atmosphere terms exactly (on a
+    Mercator grid dm/dy = tan(lat)/a, recovering du/dt += u v tan(lat)/a).
+    dm/dx = 0 for all supported projections (m varies with the row only).
+    Traditional approximation: the 2*Omega*cos(lat) terms and the u w / a
+    metric terms are omitted, as in hydrostatic-scaling practice.
     """
     f = grid.f[None]
     # v averaged to u points: mean of v[j], v[j+1] at i-1, i
@@ -150,14 +175,16 @@ def coriolis_uv(u_pad, v_pad, mu_full_pad, grid: Grid) -> Tuple[jax.Array, jax.A
                      + win(u_pad, 0, 0) + win(u_pad, 0, 1))
     mu_u = avg_x_to_u(mu_full_pad)[None]
     mu_v = avg_y_to_v(mu_full_pad)[None]
-    fu = mu_u * f * v_at_u
-    fv = -mu_v * f * u_at_v
     if grid.curvature:
-        from wrfchem_arc_interactions_tpu.grid.projection import EARTH_R
-        tan_a = jnp.tan(jnp.radians(grid.xlat))[None] / EARTH_R
+        dmdy = grid.dmdy[None]
         u_at_u = win(u_pad, 0, 0)
-        fu = fu + mu_u * tan_a * u_at_u * v_at_u
-        fv = fv - mu_v * tan_a * u_at_v * u_at_v
+        feff_u = f + u_at_u * dmdy
+        feff_v = f + u_at_v * dmdy
+        fu = (mu_u / grid.msfu[None]) * feff_u * v_at_u
+        fv = -(mu_v / grid.msfv[None]) * feff_v * u_at_v
+    else:
+        fu = mu_u * f * v_at_u
+        fv = -mu_v * f * u_at_v
     return fu, fv
 
 
@@ -166,13 +193,17 @@ def omega_diagnosis(ru_pad, rv_pad, grid: Grid, hx) -> Tuple[jax.Array, jax.Arra
     via the continuity equation (canonical: the ww/wdtn computation in
     solve_em/advance_mu_t).
 
-    Level divergence D[k] = dx(ru) + dy(rv); column mass tendency
-    dmu/dt = + sum_k dnw[k] D[k]; omega integrates
+    Level divergence D[k] = m^2 [dx(ru) + dy(rv)] (ru/rv are the
+    map-factor-coupled fluxes U = mu u / m when grid.has_msf); column mass
+    tendency dmu/dt = + sum_k dnw[k] D[k]; omega integrates
     d(omega)/d(eta) = -(dmu/dt + D) upward from omega(surface) = 0, which
-    closes exactly at the top (omega(0) = 0) by construction.
+    closes exactly at the top (omega(0) = 0) by construction.  The returned
+    ww carries mu eta_dot (= m_t * Omega of the tech note).
     """
     div = ((win(ru_pad, 0, 1) - win(ru_pad, 0, 0)) * grid.rdx
            + (win(rv_pad, 1, 0) - win(rv_pad, 0, 0)) * grid.rdy)
+    if grid.has_msf:
+        div = (grid.msft * grid.msft)[None] * div
     dnw = grid.dnw.reshape(-1, 1, 1)
     dmudt = jnp.sum(dnw * div, axis=0)
     incr = dnw * (-dmudt[None] - div)
@@ -221,5 +252,11 @@ def rphi_tendency(u_pad, v_pad, ph_pert_pad, w, ww, mu_full, grid: Grid,
     dphdn = jnp.concatenate([jnp.zeros_like(ph[:1]), dphdn_int, dphdn_top], axis=0) + dphbdn
     adv_z = ww * dphdn
 
-    rphi = (-(adv_x + adv_y + adv_z) + G * w) / mu_full[None]
+    adv_h = adv_x + adv_y
+    if grid.has_msf:
+        # tech-note 2.23: m^2 (U dphi/dx + V dphi/dy); the vertical
+        # ww dphi/deta and the g W terms carry mu eta_dot and mu w (the m
+        # factors cancel against the coupled definitions)
+        adv_h = (grid.msft * grid.msft)[None] * adv_h
+    rphi = (-(adv_h + adv_z) + G * w) / mu_full[None]
     return rphi.at[0].set(0.0)

@@ -89,6 +89,16 @@ def acoustic_loop(pp: Dict[str, jax.Array],
     rdn_w = ac["rdn_w"]          # (nz+1,1,1) incl. top half-layer metric
     dphdn_ref = ac["dphdn_ref"]  # (nz+1,ny,nx) d(phi_ref)/d(eta) at w levels
 
+    # Map factors (real projections; see dycore/big_step.py docstring).
+    # m^2 scales the acoustic divergence and theta flux terms, 1/m the
+    # buoyancy of the W'' row, m the (g W/mu) coupling of phi''.  The
+    # implicit diagonal K is m-free: the 1/m of the buoyancy cancels the m
+    # of the phi coupling exactly (m is constant along a column).
+    msf = "msft" in ac
+    m_t = ac.get("msft")                         # (ny,nx) or None
+    inv_m = ac["inv_msft"][None] if msf else 1.0
+    m2 = (m_t * m_t) if msf else None
+
     def p_of2(th_pp, ph_pp):
         return coef_pt * th_pp + s * (ph_pp[1:] - ph_pp[:-1])
 
@@ -160,6 +170,9 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         div = (u_e - u_w) * grid.rdx + (v_n - v_s) * grid.rdy
         hdiv_th = ((u_e * cs["th_x_e"] - u_w * cs["th_x_w"]) * grid.rdx
                    + (v_n * cs["th_y_n"] - v_s * cs["th_y_s"]) * grid.rdy)
+        if "m2" in cs:
+            div = cs["m2"][None] * div
+            hdiv_th = cs["m2"][None] * hdiv_th
         out = {"div": div, "hdiv_th": hdiv_th}
         if grid.has_terrain:
             out["wsfc_pp"] = (cs["cwx_w"] * u_w[0] + cs["cwx_e"] * u_e[0]
@@ -171,6 +184,8 @@ def acoustic_loop(pp: Dict[str, jax.Array],
                   "c_vy": ac["c_vy"], "c_vy2": ac["c_vy2"], "c_vy3": ac["c_vy3"]}
     divth_consts = {"th_x_w": th_x_w, "th_x_e": th_x_e,
                     "th_y_s": th_y_s, "th_y_n": th_y_n}
+    if msf:
+        divth_consts["m2"] = m2
     if grid.has_terrain:
         mom_consts["c_ux4"] = ac["c_ux4"]
         mom_consts["c_vy4"] = ac["c_vy4"]
@@ -205,8 +220,9 @@ def acoustic_loop(pp: Dict[str, jax.Array],
 
         # --- implicit W''-phi'' ---------------------------------------
         a_w = dtau * G * bp * inv_mu                      # (ny,nx)
+        gw_m = (G * m_t * inv_mu)[None] if msf else G * inv_mu[None]
         ph_exp_t = (R["rph"] - om * dphdn_ref * inv_mu[None]
-                    + (G * inv_mu[None]) * bm * w)
+                    + gw_m * bm * w)
         ph_exp = ph + dtau * ph_exp_t
         ph_exp = ph_exp.at[0].set(ph[0])                  # phi''_sfc frozen
 
@@ -230,8 +246,8 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         C = -K * s_up
         B = 1.0 + K * (s_up + s_dn) + dtau * ac["w_damp"]
         D = (w + dtau * (R["rw"]
-                         + G * eps_w * (bp * dpdn_exp + bm * dpdn_old)
-                         - G * mu[None]))
+                         + (G * inv_m) * eps_w * (bp * dpdn_exp + bm * dpdn_old)
+                         - (G * inv_m) * mu[None]))
         # surface row: flat => W'' = 0; terrain => the kinematic BC
         # w_sfc = (u dx(phi_sfc) + v dy(phi_sfc))/g evaluated with the NEW
         # acoustic winds (wsfc_const carries the reference part and the
@@ -244,7 +260,7 @@ def acoustic_loop(pp: Dict[str, jax.Array],
         else:
             D = D.at[0].set(0.0)
         w = thomas(A, B, C, D)
-        ph = ph_exp + a_w[None] * w
+        ph = ph_exp + (a_w * m_t if msf else a_w)[None] * w
         ph = ph.at[0].set(ph_exp[0])
 
         # --- averaged mass fluxes for scalar advection ----------------

@@ -94,15 +94,26 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
     w_damp = _w_damp_profile(grid, cfg)
     rdn_w = _rdn_w(grid)
 
+    # ---- map-factor coupling (grid.has_msf: U = mu u / m, W = mu w / m;
+    # the flat path keeps m == 1 with zero extra work) -----------------
+    msf = grid.has_msf
+    inv_mu_f = 1.0 / grid.msfu if msf else None      # (ny,nx) at u faces
+    inv_mv_f = 1.0 / grid.msfv if msf else None
+    inv_mt = 1.0 / grid.msft if msf else None
+    m2_t = grid.msft * grid.msft if msf else None
+
     # ---- step-start (t0) coupled quantities --------------------------
     mu_full_0 = grid.mub + state["mu"]
     g0 = hx.pad_many({"u": state["u"], "v": state["v"], "mu": mu_full_0}, 1)
     mu_u0 = win(_mu_u(g0["mu"]), 0, 0, pad=1)
     mu_v0 = win(_mu_v(g0["mu"]), 0, 0, pad=1)
+    if msf:
+        mu_u0 = mu_u0 * inv_mu_f
+        mu_v0 = mu_v0 * inv_mv_f
     cpl0 = {
         "u": mu_u0[None] * state["u"],
         "v": mu_v0[None] * state["v"],
-        "w": mu_full_0[None] * state["w"],
+        "w": (mu_full_0 * inv_mt if msf else mu_full_0)[None] * state["w"],
         "th": mu_full_0[None] * (state["t"] + c.T0),
         "mu": state["mu"],
         "ph": state["ph"],
@@ -133,6 +144,11 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             fields["phb"] = grid.phb
             fields["mub"] = grid.mub
             fields["alb"] = grid.alb
+        if msf:
+            # map factors ride the exchange too (time-invariant, needed in
+            # the halo to build the coupled fluxes U = mu u / m there)
+            fields["msfu"] = grid.msfu
+            fields["msfv"] = grid.msfv
         for q in scalars:
             fields[q] = stage_state[q]
         gA = hx.pad_many(fields, 3)
@@ -141,8 +157,12 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
 
         mu_u_pad = _mu_u(gA["mu"])
         mu_v_pad = _mu_v(gA["mu"])
-        ru_pad = mu_u_pad[None] * gA["u"]
-        rv_pad = mu_v_pad[None] * gA["v"]
+        if msf:
+            ru_pad = mu_u_pad[None] * gA["u"] / gA["msfu"][None]
+            rv_pad = mu_v_pad[None] * gA["v"] / gA["msfv"][None]
+        else:
+            ru_pad = mu_u_pad[None] * gA["u"]
+            rv_pad = mu_v_pad[None] * gA["v"]
         dmudt, ww = bs.omega_diagnosis(ru_pad, rv_pad, grid, hx)
         ww_pad = hx.pad(ww, 3)
         th_full_pad = gA["t"] + c.T0
@@ -155,12 +175,15 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         cor_u, cor_v = bs.coriolis_uv(gA["u"], gA["v"], gA["mu"], grid)
         mu_u = win(mu_u_pad, 0, 0)
         mu_v = win(mu_v_pad, 0, 0)
+        # physics tendencies couple into the momentum-flux units mu/m
+        mu_u_c = mu_u * inv_mu_f if msf else mu_u
+        mu_v_c = mu_v * inv_mv_f if msf else mu_v
 
         R = {}
         R["ru"] = (adv.advect_u(gA["u"], ru_pad, rv_pad, ww_pad, grid, h_m, v_m)
-                   + pgf_u + cor_u + mu_u[None] * pt.get("u", 0.0))
+                   + pgf_u + cor_u + mu_u_c[None] * pt.get("u", 0.0))
         R["rv"] = (adv.advect_v(gA["v"], ru_pad, rv_pad, ww_pad, grid, h_m, v_m)
-                   + pgf_v + cor_v + mu_v[None] * pt.get("v", 0.0))
+                   + pgf_v + cor_v + mu_v_c[None] * pt.get("v", 0.0))
         rw_adv = adv.advect_w(gA["w"], ru_pad, rv_pad, ww, grid, h_m, v_m)
         buoy = bs.buoyancy_w(diag.p_pert, diag.eps_ratio, stage_state["mu"], grid)
         R["rw"] = (rw_adv + buoy).at[0].set(0.0)
@@ -172,7 +195,8 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             cflv = jnp.abs(ww) * dt * rdn_w / mu_full[None]
             rate = jnp.minimum(
                 W_DAMP_ALPHA * jnp.maximum(cflv - W_DAMP_BETA, 0.0), 0.3)
-            R["rw"] = R["rw"] - (rate / dt) * (mu_full[None] * stage_state["w"])
+            mu_w_c = mu_full * inv_mt if msf else mu_full
+            R["rw"] = R["rw"] - (rate / dt) * (mu_w_c[None] * stage_state["w"])
         R["rth"] = (adv.advect_scalar(th_full_pad, ru_pad, rv_pad, ww, grid, h_s, v_s)
                     + mu_full[None] * pt.get("th", 0.0))
         # rphi takes the *coupled* W (= mu w) so its g W / mu term reduces to
@@ -223,6 +247,12 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             "rv_ref": win(rv_pad, 0, 0),
             "ww_ref": ww,
         }
+        if msf:
+            # acoustic-loop map factors: m^2 scales the divergence/theta
+            # flux terms, 1/m the buoyancy of the implicit W row, m the
+            # g W / mu coupling of the phi equation (small_step.py)
+            ac["msft"] = grid.msft
+            ac["inv_msft"] = inv_mt
 
         if grid.has_terrain:
             # Sloped-coordinate metric terms for the acoustic linearisation
@@ -257,22 +287,32 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             mu_v_facey = win(mu_v_pad, 0, 0, ey=1)
             dhdx_f = dphbdx_w[0] / c.G                        # (ny, nx+1)
             dhdy_f = dphbdy_w[0] / c.G
-            u_ref_f = win(ru_pad, 0, 0, ex=1)[0] / mu_u_facex
-            v_ref_f = win(rv_pad, 0, 0, ey=1)[0] / mu_v_facey
+            if msf:
+                # physical winds from the /m-coupled fluxes; the coupled-W
+                # target scales by mu/m_t
+                msfu_fx = win(gA["msfu"], 0, 0, ex=1)
+                msfv_fy = win(gA["msfv"], 0, 0, ey=1)
+                mu_w_cpl = mu_full * inv_mt
+            else:
+                msfu_fx = jnp.ones_like(mu_u_facex)
+                msfv_fy = jnp.ones_like(mu_v_facey)
+                mu_w_cpl = mu_full
+            u_ref_f = win(ru_pad, 0, 0, ex=1)[0] * msfu_fx / mu_u_facex
+            v_ref_f = win(rv_pad, 0, 0, ey=1)[0] * msfv_fy / mu_v_facey
             w_ref_sfc = 0.5 * (u_ref_f[:, :-1] * dhdx_f[:, :-1]
                                + u_ref_f[:, 1:] * dhdx_f[:, 1:]
                                + v_ref_f[:-1, :] * dhdy_f[:-1, :]
                                + v_ref_f[1:, :] * dhdy_f[1:, :])
-            ac["wsfc_const"] = mu_full * (w_ref_sfc - stage_state["w"][0])
-            ac["cwx_w"] = mu_full * 0.5 * dhdx_f[:, :-1] / mu_u_facex[:, :-1]
-            ac["cwx_e"] = mu_full * 0.5 * dhdx_f[:, 1:] / mu_u_facex[:, 1:]
-            ac["cwy_s"] = mu_full * 0.5 * dhdy_f[:-1, :] / mu_v_facey[:-1, :]
-            ac["cwy_n"] = mu_full * 0.5 * dhdy_f[1:, :] / mu_v_facey[1:, :]
+            ac["wsfc_const"] = mu_w_cpl * (w_ref_sfc - stage_state["w"][0])
+            ac["cwx_w"] = mu_w_cpl * 0.5 * dhdx_f[:, :-1] * msfu_fx[:, :-1] / mu_u_facex[:, :-1]
+            ac["cwx_e"] = mu_w_cpl * 0.5 * dhdx_f[:, 1:] * msfu_fx[:, 1:] / mu_u_facex[:, 1:]
+            ac["cwy_s"] = mu_w_cpl * 0.5 * dhdy_f[:-1, :] * msfv_fy[:-1, :] / mu_v_facey[:-1, :]
+            ac["cwy_n"] = mu_w_cpl * 0.5 * dhdy_f[1:, :] * msfv_fy[1:, :] / mu_v_facey[1:, :]
 
         # ---- acoustic perturbation initial values -------------------
         cplref = {
             "u": ac["ru_ref"], "v": ac["rv_ref"],
-            "w": mu_full[None] * stage_state["w"],
+            "w": (mu_full * inv_mt if msf else mu_full)[None] * stage_state["w"],
             "th": th_cpl, "mu": stage_state["mu"], "ph": stage_state["ph"],
         }
         if istage == 0:
@@ -288,10 +328,14 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         gmu = hx.pad(mu_full_new, 1)
         mu_u_new = win(_mu_u(gmu), 0, 0, pad=1)
         mu_v_new = win(_mu_v(gmu), 0, 0, pad=1)
+        if msf:
+            mu_u_new = mu_u_new * inv_mu_f
+            mu_v_new = mu_v_new * inv_mv_f
+        mu_w_new = mu_full_new * inv_mt if msf else mu_full_new
         new = dict(stage_state)
         new["u"] = (cplref["u"] + pp_out["u"]) / mu_u_new[None]
         new["v"] = (cplref["v"] + pp_out["v"]) / mu_v_new[None]
-        new["w"] = (cplref["w"] + pp_out["w"]) / mu_full_new[None]
+        new["w"] = (cplref["w"] + pp_out["w"]) / mu_w_new[None]
         new["t"] = (cplref["th"] + pp_out["th"]) / mu_full_new[None] - c.T0
         new["mu"] = mu_new
         new["ph"] = cplref["ph"] + pp_out["ph"]
@@ -313,7 +357,8 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
                 fx, fy, fz = adv.mono_limit(q_pad, phi_old[q], mu_full_new,
                                             fx, fy, fz, ru_s, rv_s, ww_s,
                                             dts, grid, hx)
-            tend = adv.flux_div(fx, fy, fz, grid) + mu_full[None] * pt.get(q, 0.0)
+            tend = (adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
+                    + mu_full[None] * pt.get(q, 0.0))
             qn = (phi_old[q] + dts * tend) / mu_full_new[None]
             if final and dyn.moist_adv_opt != AdvLimiter.NONE:
                 qn = jnp.maximum(qn, 0.0)

@@ -49,6 +49,7 @@ class Grid:
     msft: jax.Array  # (ny,nx) map factor at mass points (1 for ideal)
     msfu: jax.Array  # (ny,nx) at u faces
     msfv: jax.Array  # (ny,nx) at v faces
+    dmdy: jax.Array  # (ny,nx) d(msf)/dy at mass points (conformal curvature)
     f: jax.Array     # (ny,nx) Coriolis parameter
     ht: jax.Array    # (ny,nx) terrain height [m]
     xlat: jax.Array  # (ny,nx) latitude [deg] (radiation zenith angle)
@@ -61,11 +62,21 @@ class Grid:
     # PGF and the acoustic loop (static: selects the compiled program)
     has_terrain: bool = dataclasses.field(default=False,
                                           metadata=dict(static=True))
-    # real projection: latitude-varying f + spherical-curvature momentum
-    # terms (static; map factors in the flux operators stay 1 this round —
-    # a few-percent effect for mid-latitude limited areas, documented)
+    # real projection: latitude-varying f, conformal-curvature momentum
+    # terms, AND map-scale factors in every flux operator of the dycore
+    # (coupled mass fluxes U = mu u / m, m^2-scaled flux divergences, the
+    # 1/m-scaled buoyancy of the coupled W equation; canonical: the
+    # msft/msfu/msfv scaling of module_big_step_utilities_em.F and
+    # module_small_step_em.F throughout).  Static: selects the compiled
+    # program; with m == 1 the msf path is bit-identical to the flat path
+    # (tested in tests/test_map_factors.py).
     curvature: bool = dataclasses.field(default=False,
                                         metadata=dict(static=True))
+
+    @property
+    def has_msf(self) -> bool:
+        """Map-scale factors active (real projection)."""
+        return self.curvature
 
     @property
     def nz(self) -> int:
@@ -215,10 +226,12 @@ def make_grid(cfg: Config,
         )
         pf = projection_fields(projection, ny, nx, d.dx, d.dy)
         msft, msfu, msfv = pf["msft"], pf["msfu"], pf["msfv"]
+        dmdy = pf["dmdy"]
         f_field, xlat, xlong = pf["f"], pf["xlat"], pf["xlong"]
         curvature = True
     else:
         msft = msfu = msfv = ones
+        dmdy = np.zeros((ny, nx))
         f_field = f0 * ones
         xlat, xlong = lat0 * ones, lon0 * ones
         curvature = False
@@ -226,7 +239,7 @@ def make_grid(cfg: Config,
         znw=arr(znw), znu=arr(znu), dnw=arr(dnw), rdnw=arr(rdnw),
         dn=arr(dn), rdn=arr(rdn), fnp=arr(fnp), fnm=arr(fnm),
         mub=arr(mub), pb=arr(pb), alb=arr(alb), phb=arr(phb), t_init=arr(t_init),
-        msft=arr(msft), msfu=arr(msfu), msfv=arr(msfv),
+        msft=arr(msft), msfu=arr(msfu), msfv=arr(msfv), dmdy=arr(dmdy),
         f=arr(f_field), ht=arr(terrain),
         xlat=arr(xlat), xlong=arr(xlong),
         dx=float(d.dx), dy=float(d.dy), p_top=float(d.p_top),

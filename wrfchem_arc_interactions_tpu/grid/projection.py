@@ -111,16 +111,24 @@ def projection_fields(proj: Projection, ny: int, nx: int,
     staggered positions (this framework's same-size convention: u at west
     faces x=i*dx, v at south faces y=j*dy, mass at (i+0.5, j+0.5))."""
     yc = (np.arange(ny) + 0.5 - ny / 2.0) * dy     # mass rows about center
-    yv = (np.arange(ny) - ny / 2.0) * dy           # v-face rows
+    yv = (np.arange(ny + 1) - ny / 2.0) * dy       # v-face rows (+ north lid)
 
     lat_t = _inverse_lat(proj.kind, yc, proj)
     lat_v = _inverse_lat(proj.kind, yv, proj)
     m_t = _map_factor(proj.kind, lat_t, proj)
-    m_v = _map_factor(proj.kind, lat_v, proj)
+    m_vf = _map_factor(proj.kind, lat_v, proj)      # (ny+1,) incl. north face
+    m_v = m_vf[:-1]
 
     msft = np.repeat(m_t[:, None], nx, 1)
     msfv = np.repeat(m_v[:, None], nx, 1)
     msfu = msft.copy()             # conformal: m varies only with latitude
+    # d(m)/dy at mass points, in projected (map-plane) metres — the general
+    # conformal curvature coefficient f_eff = f + u dm/dy - v dm/dx
+    # (canonical: the msfvy gradients of module_big_step_utilities_em.F
+    # coriolis/curvature; reduces to the spherical u*tan(lat)/a term on a
+    # Mercator grid where dm/dy = tan(lat)/a exactly).  dm/dx = 0: all
+    # supported projections vary only with the row.
+    dmdy = np.repeat(((m_vf[1:] - m_vf[:-1]) / dy)[:, None], nx, 1)
 
     f = 2 * OMEGA_E * np.sin(np.radians(lat_t))
     e = 2 * OMEGA_E * np.cos(np.radians(lat_t))
@@ -136,6 +144,7 @@ def projection_fields(proj: Projection, ny: int, nx: int,
     return {"msft": msft.astype(np.float32),
             "msfu": msfu.astype(np.float32),
             "msfv": msfv.astype(np.float32),
+            "dmdy": dmdy.astype(np.float32),
             "f": np.repeat(f[:, None], nx, 1).astype(np.float32),
             "e": np.repeat(e[:, None], nx, 1).astype(np.float32),
             "xlat": xlat.astype(np.float32),
