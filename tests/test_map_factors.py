@@ -15,6 +15,7 @@ import dataclasses
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from wrfchem_arc_interactions_tpu.config import (
@@ -69,6 +70,7 @@ def test_msf_unity_reduces_to_flat():
         assert d <= tol.get(name, 1e-6), f"{name}: msf path off by {d}"
 
 
+@pytest.mark.slow
 def test_lambert_mass_conservation():
     """Total dry mass sum(mu_full / m^2) (physical cell area ~ dx dy / m^2)
     is exactly conserved by the m^2-scaled flux-form continuity equation
@@ -103,6 +105,7 @@ def test_lambert_mass_conservation():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_lambert_scalar_mass_conservation():
     """Advected-scalar mass sum(mu q / m^2) is conserved through the
     m^2-scaled flux divergence + PD limiter."""
@@ -133,6 +136,7 @@ def test_lambert_scalar_mass_conservation():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_lambert_decomposition_invariance():
     """msf dynamics are bitwise-reproducible across decompositions to f32
     roundoff (msf fields ride the group-A halo exchange)."""

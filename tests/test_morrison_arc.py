@@ -156,3 +156,50 @@ def test_hallett_mossop_and_bigg_freezing():
     f_warm = run_col(-5.0, qr0=1e-3)
     assert f_cold["qg"] > 1e-4, f_cold
     assert f_cold["qg"] > 10.0 * max(f_warm["qg"], 1e-12), (f_cold, f_warm)
+
+
+@pytest.mark.slow
+def test_supersat_parcel_smax_depends_on_nc():
+    """Parcel test of the predicted-supersaturation path (VERDICT r2 ask
+    #8): an adiabatically cooling parcel develops a peak supersaturation
+    that DECREASES with droplet number (faster phase relaxation), the
+    AR&G expectation; with plentiful droplets the result converges to the
+    saturation-adjustment limit."""
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.physics.microphysics.morrison import (
+        _supersat_condense,
+    )
+    from wrfchem_arc_interactions_tpu.physics.microphysics.kessler import (
+        _qvs, saturation_adjust,
+    )
+    from wrfchem_arc_interactions_tpu.utils import constants as c
+
+    p = jnp.full((1,), 8.5e4)
+    pii = (p / c.P0) ** c.RCP
+    w_up, dt = 2.0, 1.0
+    cool = c.G / c.CP * w_up * dt / pii       # adiabatic d(theta)/step
+
+    def run(nc0):
+        theta = jnp.full((1,), 285.0) / pii
+        qv = _qvs(p, theta * pii)             # start exactly saturated
+        qc = jnp.full((1,), 1e-5)
+        nc = jnp.full((1,), nc0)
+        s_peak = 0.0
+        for _ in range(60):                   # 2-minute, 120-m ascent
+            theta = theta - cool
+            theta, qv, qc, smax = _supersat_condense(
+                theta, qv, qc, nc, p, pii, jnp.full((1,), 1.05), dt)
+            s_peak = max(s_peak, float(smax[0]))
+        return s_peak, float(qc[0]), theta, qv
+
+    s_lo, qc_lo, _, _ = run(30e6)             # maritime-clean
+    s_hi, qc_hi, th_hi, qv_hi = run(1000e6)   # polluted
+    assert s_lo > 1.5 * s_hi, (s_lo, s_hi)
+    assert s_hi < 0.01, f"polluted parcel S_max {s_hi} should stay <1%"
+    assert s_lo > 1e-4
+    # polluted limit ~ saturation adjustment: residual vapor excess tiny
+    excess = float((qv_hi - _qvs(p, th_hi * pii))[0])
+    assert abs(excess) < 5e-5
+    # both condensed comparable total water (first indirect effect is about
+    # partitioning/number, not total condensate)
+    assert abs(qc_lo - qc_hi) / qc_hi < 0.25

@@ -205,10 +205,18 @@ def wet_scavenging(chem: Dict[str, jax.Array], qr, dt: float,
     lam_gas = 1.0e-3 * qr * 1.0e3                # [1/s] legacy gas uptake rate
     d_rain, rho_w = 1.0e-3, 1000.0
     diams = mbins.make_bins(nbin).d_center
+    # in-cloud (nucleation) scavenging of the cloud-borne phase: the
+    # aerosol inside droplets is removed at the cloud-water -> rain
+    # conversion rate; the Kessler accretion rate 2.2 qr^0.875 [1/s] is the
+    # bulk proxy for that conversion (canonical: module_mosaic_wetscav.F
+    # drains the _cw species with the MP-provided qc->qr rates)
+    lam_cw = 2.2 * jnp.maximum(qr, 0.0) ** 0.875
     out = dict(chem)
     for name, arr in chem.items():
         short = name.replace("chem_", "")
-        if "_a" in short:
+        if "_cw" in short:
+            out[name] = arr * jnp.exp(-lam_cw * dt)
+        elif "_a" in short:
             b = int(short[-2:]) - 1
             eff = _collection_efficiency(diams[min(b, nbin - 1)])
             lam_b = 1.5 * eff * rain_flux / (rho_w * d_rain)
@@ -221,6 +229,48 @@ def wet_scavenging(chem: Dict[str, jax.Array], qr, dt: float,
 # Henry constants [M/atm] at 298K and effective dissociation constants
 H_SO2, K1_SO2, K2_SO2 = 1.23, 1.3e-2, 6.6e-8
 H_H2O2, H_O3 = 7.45e4, 1.13e-2
+
+QC_CLOUD = 1e-6         # [kg/kg] cloud presence threshold for the cw phase
+
+
+def _cw_keys(chem) -> bool:
+    return any(k.startswith("chem_num_cw") for k in chem)
+
+
+def cw_exchange(chem: Dict[str, jax.Array], qc, t_air, p_air, rho_air,
+                w_up, nbin: int) -> Dict[str, jax.Array]:
+    """Interstitial <-> cloud-borne aerosol exchange (canonical: the
+    activation/resuspension bookkeeping of phys/module_mixactivate.F
+    feeding the _cw species of module_mosaic_cloudchem.F).
+
+    In cloudy cells (qc > QC_CLOUD) the AR&G per-bin activated fraction
+    sets a floor on the cloud-borne share of each bin's (interstitial +
+    cloud-borne) total — activation is a ratchet while the cloud persists
+    (droplets, once nucleated, keep their aerosol).  Where the cloud has
+    evaporated, the entire cloud-borne load resuspends to the interstitial
+    phase.  Per-(bin, species) totals are conserved to machine precision;
+    decomposition-invariant (cell-local).
+    """
+    if not _cw_keys(chem):
+        return chem
+    from wrfchem_arc_interactions_tpu.physics.mixactivate import (
+        activate_fractions,
+    )
+    out = dict(chem)
+    _, _, fracs = activate_fractions(chem, t_air, p_air, rho_air, w_up, nbin)
+    in_cloud = qc > QC_CLOUD
+    species = tuple(mbins.AER_SPECIES) + ("num",)
+    for b in range(1, nbin + 1):
+        frac = fracs[b - 1]
+        for s in species:
+            ki = f"chem_{s}_a{b:02d}"
+            kc = f"chem_{s}_cw{b:02d}"
+            tot = chem[ki] + chem[kc]
+            cw_new = jnp.where(in_cloud,
+                               jnp.maximum(chem[kc], frac * tot), 0.0)
+            out[kc] = cw_new
+            out[ki] = tot - cw_new
+    return out
 
 
 def cloud_chemistry(chem: Dict[str, jax.Array], qc, t_air, nbin: int,
@@ -245,22 +295,42 @@ def cloud_chemistry(chem: Dict[str, jax.Array], qc, t_air, nbin: int,
     in_cloud = qc > 1e-6
     lwc_l = jnp.maximum(lwc * 1e-3, 1e-9)        # m3 water / m3 air
 
-    # --- pH from activated-aerosol strong acids dissolved in cloud water
+    # --- pH from activated-aerosol strong acids dissolved in cloud water.
+    # With the cloud-borne phase live (cldchem_onoff -> _cw tracers), the
+    # acids actually inside the droplets are the summed _cw composition
+    # (canonical: module_mosaic_cloudchem.F builds droplet chemistry from
+    # the cloud-borne species); without it, fall back to the round-2
+    # activated-largest-bin proxy.
     def _aq_molar(key, mw):
         ug_m3 = chem.get(key, jnp.zeros_like(qc)) * 1.2   # ug/m3 air
         return ug_m3 * 1e-6 / mw / (lwc_l * 1e3)          # mol/L water
-    b_act = nbin
-    so4_aq = _aq_molar(f"chem_so4_a{b_act:02d}", mbins.MW["so4"])
-    no3_aq = _aq_molar(f"chem_no3_a{b_act:02d}", mbins.MW["no3"])
-    nh4_aq = _aq_molar(f"chem_nh4_a{b_act:02d}", mbins.MW["nh4"])
+
+    has_cw = _cw_keys(chem)
+    if has_cw:
+        def _aq_sum(spec):
+            tot = jnp.zeros_like(qc)
+            for b in range(1, nbin + 1):
+                tot = tot + _aq_molar(f"chem_{spec}_cw{b:02d}",
+                                      mbins.MW[spec])
+            return tot
+        so4_aq, no3_aq, nh4_aq = _aq_sum("so4"), _aq_sum("no3"), _aq_sum("nh4")
+    else:
+        b_act = nbin
+        so4_aq = _aq_molar(f"chem_so4_a{b_act:02d}", mbins.MW["so4"])
+        no3_aq = _aq_molar(f"chem_no3_a{b_act:02d}", mbins.MW["no3"])
+        nh4_aq = _aq_molar(f"chem_nh4_a{b_act:02d}", mbins.MW["nh4"])
     h_plus = jnp.clip(2.0 * so4_aq + no3_aq - nh4_aq, 1e-7, 1e-3)
 
-    # --- S(IV) speciation (partial pressures in atm: ppmv * 1e-6)
+    # --- S(IV) speciation (partial pressures in atm: ppmv * 1e-6).
+    # Oxidants not carried by the active package (aerosol-only MOSAIC has
+    # no O3/H2O2 tracers) contribute zero — the corresponding pathway
+    # simply shuts off.
+    zeros = jnp.zeros_like(qc)
     p_so2 = chem["chem_so2"] * 1e-6
     hso3 = H_SO2 * K1_SO2 / h_plus * p_so2               # [HSO3-] M
     so3 = hso3 * K2_SO2 / h_plus                          # [SO3--] M
-    h2o2_aq = H_H2O2 * chem["chem_h2o2"] * 1e-6
-    o3_aq = H_O3 * chem["chem_o3"] * 1e-6
+    h2o2_aq = H_H2O2 * chem.get("chem_h2o2", zeros) * 1e-6
+    o3_aq = H_O3 * chem.get("chem_o3", zeros) * 1e-6
 
     k_h2o2 = 7.45e7 * h_plus / (1.0 + 13.0 * h_plus)     # M-1 s-1
     r_h2o2 = k_h2o2 * h2o2_aq * hso3                     # M/s in cloud water
@@ -273,17 +343,34 @@ def cloud_chemistry(chem: Dict[str, jax.Array], qc, t_air, nbin: int,
     d_o3 = jnp.where(in_cloud, r_o3 * to_ppmv * dt, 0.0)
     # limit by available reagents
     d_h2o2 = jnp.minimum(d_h2o2, jnp.minimum(chem["chem_so2"],
-                                             chem["chem_h2o2"]))
+                                             chem.get("chem_h2o2", zeros)))
     d_o3 = jnp.minimum(d_o3, jnp.minimum(chem["chem_so2"] - d_h2o2,
-                                         chem["chem_o3"]))
+                                         chem.get("chem_o3", zeros)))
     d_o3 = jnp.maximum(d_o3, 0.0)
 
     out["chem_so2"] = chem["chem_so2"] - d_h2o2 - d_o3
-    out["chem_h2o2"] = chem["chem_h2o2"] - d_h2o2
-    out["chem_o3"] = chem["chem_o3"] - d_o3
+    if "chem_h2o2" in chem:
+        out["chem_h2o2"] = chem["chem_h2o2"] - d_h2o2
+    if "chem_o3" in chem:
+        out["chem_o3"] = chem["chem_o3"] - d_o3
     dso4 = ppmv_to_ugkg(d_h2o2 + d_o3, mbins.MW["so4"])
-    key = f"chem_so4_a{b_act:02d}"
-    out[key] = chem[key] + dso4
+    if has_cw:
+        # sulfate produced in the droplets deposits into the CLOUD-BORNE
+        # distribution, split across bins by droplet (cloud-borne) number
+        # — evaporation later resuspends it into the interstitial bins,
+        # the aqueous pathway's particle-growth signature (canonical:
+        # module_mosaic_cloudchem.F sulfate partitioning by droplet number)
+        nums = [chem[f"chem_num_cw{b:02d}"] for b in range(1, nbin + 1)]
+        tot_n = sum(nums)
+        safe = jnp.maximum(tot_n, 1e-10)
+        for b, n_b in zip(range(1, nbin + 1), nums):
+            w_b = jnp.where(tot_n > 1e-10, n_b / safe,
+                            1.0 if b == nbin else 0.0)
+            key = f"chem_so4_cw{b:02d}"
+            out[key] = chem[key] + dso4 * w_b
+    else:
+        key = f"chem_so4_a{b_act:02d}"
+        out[key] = chem[key] + dso4
     return out
 
 

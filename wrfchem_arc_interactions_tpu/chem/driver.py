@@ -111,8 +111,12 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
         for i, s in enumerate(gas.GAS_SPECIES):
             chem[f"chem_{s}"] = conc[i] / m_air * 1e6
 
-    # 5. cloud chemistry
+    # 5. cloud chemistry: activation/resuspension bookkeeping of the
+    # cloud-borne (_cw) phase, then aqueous S(IV)->S(VI) into the droplets
     if ch.cldchem_onoff:
+        w_c = 0.5 * (state["w"][:-1] + state["w"][1:])
+        chem = aux.cw_exchange(chem, qc, t_air, diag.p_full, rho_air, w_c,
+                               nbin)
         chem = aux.cloud_chemistry(chem, qc, t_air, nbin, dt)
 
     # 6. aerosol dynamics

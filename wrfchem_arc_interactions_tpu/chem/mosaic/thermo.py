@@ -13,10 +13,11 @@ branchless (SURVEY.md §7.3-5):
   coefficients) — the ASTEM non-volatile pathway.
 - **NH3**: condenses toward sulfate neutralisation (NH4)2SO4,
   rate-limited by the same kinetic coefficients.
-- **NH4NO3**: bulk equilibrium with the Mozurkewich dissociation constant
-  Kp(T, RH); excess product condenses (or particulate NO3 evaporates)
-  toward Kp, distributed over bins by uptake coefficient — the ASTEM
-  semi-volatile pathway in its bulk-equilibration mode.
+- **NH4NO3 (+ NaCl displacement)**: ASTEM dynamic mode — per-bin KINETIC
+  NO3/NH4 condensation-evaporation toward the bin-local equilibrium
+  Kp_b(T, Kelvin(d_b), MESA phase), fixed ASTEM_SUBSTEPS sub-stepping
+  (astem_semivolatile; canonical module_mosaic_therm.F ASTEM, Zaveri et
+  al. 2008).  HNO3 condensing on sea salt displaces Cl as HCl.
 
 All quantities are (nz, ny, nx) fields; gases in ppmv, aerosol in ug/kg.
 """
@@ -46,10 +47,15 @@ def ugkg_to_ppmv(x_ugkg, mw):
     return x_ugkg * MW_AIR_G / (mw * 1e3)
 
 
-def uptake_coeffs(chem: Dict[str, jax.Array], rho_air, nbin: int):
+def uptake_coeffs(chem: Dict[str, jax.Array], rho_air, nbin: int,
+                  with_diameters: bool = False):
     """Per-bin kinetic uptake coefficient k_b [1/s] for gas condensation:
-    k_b = 2 pi D_g D_wet N_b beta(Kn) with Fuchs-Sutugin beta."""
+    k_b = 2 pi D_g D_wet N_b beta(Kn) with Fuchs-Sutugin beta.
+
+    ``with_diameters=True`` additionally returns the wet diameters [m]
+    (the ASTEM Kelvin-term input)."""
     ks = []
+    ds = []
     for b in range(1, nbin + 1):
         vol = None
         for s in list(mbins.AER_SPECIES) + ["water"]:
@@ -62,6 +68,9 @@ def uptake_coeffs(chem: Dict[str, jax.Array], rho_air, nbin: int):
         beta = (1.0 + kn) / (1.0 + kn * (1.71 + 1.33 * kn) / ACCOM)
         n_m3 = num * rho_air
         ks.append(2.0 * jnp.pi * D_GAS * d_wet * n_m3 * beta)
+        ds.append(d_wet)
+    if with_diameters:
+        return ks, ds
     return ks                                                   # list of (nz,ny,nx)
 
 
@@ -145,11 +154,117 @@ def mozurkewich_kp(t_air):
     return jnp.exp(118.87 - 24084.0 / t_air - 6.025 * jnp.log(t_air))
 
 
+# ASTEM fixed sub-stepping: the reference's adaptive step count becomes a
+# compile-time constant (SURVEY.md §7.3-5 "fixed-iteration batched form");
+# 6 sub-steps of chemdt/6 resolve the stiff early transient to within a few
+# percent of a dense f64 integration (tests/test_astem.py convergence test).
+ASTEM_SUBSTEPS = 6
+SIGMA_AER = 0.08          # surface tension of the aqueous aerosol [N/m]
+
+
+def astem_semivolatile(out: Dict[str, jax.Array], t_air, rh,
+                       ks, d_wets, liquid, nbin: int, dt: float):
+    """ASTEM dynamic mode: per-bin kinetic NO3/NH4 condensation-evaporation
+    toward bin-local NH4NO3 equilibrium (canonical: the ASTEM semi-volatile
+    solver of module_mosaic_therm.F, Zaveri et al. 2008 JGR).
+
+    Per bin b the HNO3 flux is dC/dt = k_b (C_HNO3 - C_eq,b) with the
+    surface equilibrium C_eq,b = Kp_b / C_NH3, where
+
+      Kp_b = Kp(T) * kelvin_b * (0.1 if liquid else 1)
+
+    — Kp from Mozurkewich, the Kelvin factor exp(4 sigma Mw/(R T rho_w
+    d_wet,b)) penalising small bins, and the deliquesced-branch activity
+    reduction gated by the MESA phase state per bin.  NH4 follows NO3 1:1
+    (molar).  NaCl displacement chemistry rides the same flux: HNO3
+    condensing into a bin with sea salt displaces Cl as HCl gas
+    (HNO3 + NaCl -> NaNO3 + HCl), bounded by the bin's Cl and Na content.
+
+    Fixed ASTEM_SUBSTEPS explicit sub-steps with per-substep relaxation
+    factors (1 - exp(-k_b dt_s)) and a global gas-availability limiter —
+    branchless, fixed work, decomposition-invariant.  Mutates ``out``.
+    """
+    kp0 = mozurkewich_kp(t_air)                     # ppb^2
+    kelvin = [jnp.exp(4.0 * SIGMA_AER * 18.015e-3
+                      / (8.314 * t_air * 1000.0 * jnp.maximum(d, 1e-9)))
+              for d in d_wets]
+    kp_b = [kp0 * kelvin[b] * jnp.where(liquid[b] > 0.5, 0.1, 1.0)
+            for b in range(nbin)]
+
+    nh3_ppb = out["chem_nh3"] * 1e3
+    hno3_ppb = out["chem_hno3"] * 1e3
+    hcl_ppb = out["chem_hcl"] * 1e3 if "chem_hcl" in out else None
+    no3_b = [out[f"chem_no3_a{b:02d}"] for b in range(1, nbin + 1)]
+    nh4_b = [out[f"chem_nh4_a{b:02d}"] for b in range(1, nbin + 1)]
+    cl_b = [out.get(f"chem_cl_a{b:02d}") for b in range(1, nbin + 1)]
+    na_b = [out.get(f"chem_na_a{b:02d}") for b in range(1, nbin + 1)]
+
+    dts = dt / ASTEM_SUBSTEPS
+    relax = [1.0 - jnp.exp(-k * dts) for k in ks]
+    mw_no3, mw_nh4, mw_cl = mbins.MW["no3"], mbins.MW["nh4"], mbins.MW["cl"]
+
+    for _ in range(ASTEM_SUBSTEPS):
+        nh3_safe = jnp.maximum(nh3_ppb, 1e-6)
+        # per-bin driving force in HNO3 ppb
+        d_raw = [relax[b] * (hno3_ppb - kp_b[b] / nh3_safe)
+                 for b in range(nbin)]
+        # evaporation bounded by the bin's particulate NO3 (in ppb)
+        no3_ppb_b = [ugkg_to_ppmv(no3_b[b], mw_no3) * 1e3
+                     for b in range(nbin)]
+        d_lim = [jnp.maximum(d_raw[b], -no3_ppb_b[b]) for b in range(nbin)]
+        # condensation bounded by the gas pool AND the NH3 companion pool:
+        # scale all positive fluxes by the common availability factor
+        pos_sum = sum(jnp.maximum(d, 0.0) for d in d_lim)
+        gas_avail = jnp.minimum(hno3_ppb, nh3_ppb)
+        scale = jnp.clip(gas_avail / jnp.maximum(pos_sum, 1e-30), 0.0, 1.0)
+        d_fin = [jnp.where(d > 0, d * scale, d) for d in d_lim]
+
+        d_tot = sum(d_fin)
+        hno3_ppb = jnp.maximum(hno3_ppb - d_tot, 0.0)
+        for b in range(nbin):
+            d_ug = ppmv_to_ugkg(d_fin[b] * 1e-3, mw_no3)
+            # NaCl displacement: the condensing-HNO3 share that lands on
+            # sea salt evicts Cl (molar 1:1), up to the available Cl
+            if cl_b[b] is not None and na_b[b] is not None \
+                    and hcl_ppb is not None:
+                cond_mol = jnp.maximum(d_ug, 0.0) / mw_no3
+                salt_mol = jnp.minimum(cl_b[b] / mw_cl,
+                                       na_b[b] / mbins.MW["na"])
+                d_cl_mol = jnp.minimum(cond_mol, jnp.maximum(salt_mol, 0.0))
+                cl_b[b] = cl_b[b] - d_cl_mol * mw_cl
+                hcl_ppb = hcl_ppb + ugkg_to_ppmv(d_cl_mol * mw_cl,
+                                                 mw_cl) * 1e3
+                # the displaced fraction forms NaNO3 (no NH4 companion)
+                nh4_companion_mol = jnp.maximum(d_ug, 0.0) / mw_no3 - d_cl_mol
+            else:
+                nh4_companion_mol = jnp.maximum(d_ug, 0.0) / mw_no3
+            # evaporation releases the NH4 companion too (NH4NO3 -> gases)
+            evap_mol = jnp.minimum(d_ug, 0.0) / mw_no3
+            d_nh4_ug = (nh4_companion_mol + evap_mol) * mw_nh4
+            # companion NH4 bounded by the bin's NH4 on evaporation
+            d_nh4_ug = jnp.maximum(d_nh4_ug, -nh4_b[b])
+            no3_b[b] = jnp.maximum(no3_b[b] + d_ug, 0.0)
+            nh4_b[b] = jnp.maximum(nh4_b[b] + d_nh4_ug, 0.0)
+            nh3_ppb = jnp.maximum(
+                nh3_ppb - ugkg_to_ppmv(d_nh4_ug, mw_nh4) * 1e3, 0.0)
+
+    out["chem_nh3"] = nh3_ppb * 1e-3
+    out["chem_hno3"] = hno3_ppb * 1e-3
+    if hcl_ppb is not None:
+        out["chem_hcl"] = hcl_ppb * 1e-3
+    for b in range(1, nbin + 1):
+        out[f"chem_no3_a{b:02d}"] = no3_b[b - 1]
+        out[f"chem_nh4_a{b:02d}"] = nh4_b[b - 1]
+        if cl_b[b - 1] is not None:
+            out[f"chem_cl_a{b:02d}"] = jnp.maximum(cl_b[b - 1], 0.0)
+    return out
+
+
 def partition(chem: Dict[str, jax.Array], t_air, rho_air, rh,
               nbin: int, dt: float) -> Dict[str, jax.Array]:
     """One chemdt of gas-particle mass transfer. Returns updated fields."""
     out = dict(chem)
-    ks = uptake_coeffs(chem, rho_air, nbin)
+    ks, d_wets = uptake_coeffs(chem, rho_air, nbin, with_diameters=True)
     k_tot = sum(ks)
     k_tot_safe = jnp.maximum(k_tot, 1e-30)
     frac = [k / k_tot_safe for k in ks]
@@ -179,35 +294,9 @@ def partition(chem: Dict[str, jax.Array], t_air, rho_air, rh,
         key = f"chem_nh4_a{b:02d}"
         out[key] = chem[key] + dnh4_ug * frac[b - 1]
 
-    # --- NH4NO3 bulk equilibrium ----------------------------------------
-    nh3_ppb = out["chem_nh3"] * 1e3
-    hno3_ppb = chem["chem_hno3"] * 1e3
-    kp = mozurkewich_kp(t_air) * jnp.where(rh > 0.6, 0.1, 1.0)  # deliquesced branch
-    prod = nh3_ppb * hno3_ppb
-    # condense d (ppb) solving (nh3-d)(hno3-d) = kp; one Newton step from 0
-    # is adequate at the chemdt cadence
-    s_ = nh3_ppb + hno3_ppb
-    disc = jnp.sqrt(jnp.maximum(s_ * s_ - 4.0 * (prod - kp), 0.0))
-    d_eq = 0.5 * (s_ - disc)                                     # exact root
-    d_eq = jnp.clip(d_eq, -1e3, jnp.minimum(nh3_ppb, hno3_ppb))
-    # rate-limit by kinetic transfer; allow evaporation (d_eq < 0) bounded
-    # by existing particulate NO3
-    no3_tot = sum(chem[f"chem_no3_a{b:02d}"] for b in range(1, nbin + 1))
-    d = d_eq * transfer
-    d_ug = ppmv_to_ugkg(d * 1e-3, mbins.MW["no3"])
-    d_ug = jnp.maximum(d_ug, -no3_tot)
-    out["chem_hno3"] = chem["chem_hno3"] - ugkg_to_ppmv(d_ug, mbins.MW["no3"])
-    out["chem_nh3"] = out["chem_nh3"] - ugkg_to_ppmv(
-        d_ug * mbins.MW["nh4"] / mbins.MW["no3"], mbins.MW["nh4"])
-    no3_tot_safe = jnp.maximum(no3_tot, 1e-30)
-    for b in range(1, nbin + 1):
-        key = f"chem_no3_a{b:02d}"
-        gain = jnp.where(d_ug >= 0.0, d_ug * frac[b - 1],
-                         d_ug * chem[key] / no3_tot_safe)
-        out[key] = jnp.maximum(chem[key] + gain, 0.0)
-        keyn = f"chem_nh4_a{b:02d}"
-        out[keyn] = jnp.maximum(
-            out[keyn] + gain * mbins.MW["nh4"] / mbins.MW["no3"], 0.0)
+    # --- NH4NO3 (+ NaCl displacement): ASTEM per-bin kinetic dynamics ----
+    liquid = phase_state(chem, rh, nbin)
+    out = astem_semivolatile(out, t_air, rh, ks, d_wets, liquid, nbin, dt)
 
     # --- water equilibrium ----------------------------------------------
     out.update(water_uptake(out, rh, nbin))

@@ -6,13 +6,18 @@ coupling)').
 Prognostic mass/number for cloud, rain, ice, snow, graupel with gamma (mu=0
 / Marshall-Palmer) size distributions.  The ARC-critical pathway is fully
 represented: activated droplet number from `physics.mixactivate` sources
-prognostic Nc, and the Khairoutdinov-Kogan autoconversion's strong
+prognostic Nc, the Khairoutdinov-Kogan autoconversion's strong
 Nc^-1.79 dependence carries the second indirect effect (more aerosol ->
-more, smaller droplets -> suppressed rain).  Includes Hallett-Mossop rime
-splintering (secondary ice) and Bigg heterogeneous rain freezing.
-Relative to the reference scheme this round omits: sub-stepped
-supersaturation prediction (saturation adjustment instead) and
-spectral-width (mu>0) diagnostics — documented simplifications.
+more, smaller droplets -> suppressed rain), and on the progn=1 path
+condensation/evaporation is SUB-STEPPED ON PREDICTED SUPERSATURATION
+(_supersat_condense): the phase-relaxation time 1/(4 pi D N r) depends on
+the activated droplet number, so S_max and the condensation partitioning
+respond to aerosol — the reference's non-equilibrium pathway (canonical:
+the supersaturation sub-stepping of module_mp_morr_two_moment.F).  With
+progn=0 the classic saturation adjustment applies.  Includes
+Hallett-Mossop rime splintering (secondary ice) and Bigg heterogeneous
+rain freezing.  Remaining documented simplification vs the reference:
+mu=0 spectral width only, bulk rime density.
 
 All process rates are fused elementwise VPU work; sedimentation is the
 same CFL-substepped upwind column pass as Kessler.
@@ -80,6 +85,64 @@ def _sediment_pair(q, n, kind, rho, dz, dt, nfall):
     return q, n, rain_acc
 
 
+# fixed sub-step count for the predicted-supersaturation integration (the
+# reference adapts; 10 sub-steps resolve the ~1 s phase-relaxation time of
+# continental Nc at typical dt without data-dependent control flow)
+NSUB_SS = 10
+D_VAP = 2.5e-5            # vapor diffusivity [m2/s]
+K_AIR = 2.5e-2            # thermal conductivity [W/m/K]
+RV = 461.5
+
+
+def _supersat_condense(theta, qv, qc, nc, p, pii, rho, dt: float):
+    """Sub-stepped condensation/evaporation on PREDICTED supersaturation.
+
+    Per sub-step the vapor excess (qv - qvs) relaxes with the droplet
+    phase-relaxation time tau_c = 1/(4 pi G N r_bar) — G the standard
+    diffusional growth coefficient, r_bar the mean droplet radius from
+    (qc, nc) — damped by the psychrometric factor Gamma = 1 + (L/cp)
+    dqvs/dT (latent heating raises qvs as condensation proceeds).  As
+    tau_c -> 0 (many droplets) this limits to saturation adjustment; for
+    few droplets supersaturation persists — the Nc-dependent S_max the
+    second indirect effect rides on (tests/test_morrison_arc.py parcel
+    test).  Returns (theta, qv, qc, s_max_seen).
+    """
+    dts = dt / NSUB_SS
+    lv = c.XLV
+    s_max = jnp.zeros_like(qv)
+    for _ in range(NSUB_SS):
+        t_air = theta * pii
+        qvs = _qvs(p, t_air)
+        # psychrometric factor (Clausius-Clapeyron slope of qvs)
+        gam = 1.0 + (lv / c.CP) * qvs * lv / (RV * t_air ** 2)
+        # diffusional growth coefficient [m2/s]
+        g_coef = 1.0 / (997.0 * RV * t_air / (_es(t_air) * D_VAP)
+                        + lv * 997.0 / (K_AIR * t_air)
+                        * (lv / (RV * t_air) - 1.0))
+        r_bar = (3.0 * jnp.maximum(qc, 1e-12)
+                 / (4.0 * jnp.pi * 997.0 * jnp.maximum(nc, 1e3))) ** (1.0 / 3.0)
+        r_bar = jnp.clip(r_bar, 1e-6, 50e-6)      # floor: freshly activated
+        # excess relaxation rate [1/s]: dqc/dt = 4 pi N r rho_w G S with
+        # S = excess/qvs  ->  k = 4 pi N r rho_w G / qvs
+        inv_tau = (4.0 * jnp.pi * jnp.maximum(nc, 0.0) * r_bar * 997.0
+                   * g_coef / jnp.maximum(qvs, 1e-8))
+        # analytic relaxation of the excess over the sub-step
+        excess = qv - qvs
+        relax = 1.0 - jnp.exp(-inv_tau * gam * dts)
+        dq = excess / gam * relax
+        # evaporation bounded by available cloud water
+        dq = jnp.maximum(dq, -qc)
+        qv = qv - dq
+        qc = qc + dq
+        theta = theta + (lv / (c.CP * pii)) * dq
+        s_max = jnp.maximum(s_max, excess / jnp.maximum(qvs, 1e-8))
+    return theta, qv, qc, s_max
+
+
+def _es(t_air):
+    return 611.2 * jnp.exp(c.SVP2 * (t_air - c.SVPT0) / (t_air - c.SVP3))
+
+
 def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
              n_act: Optional[jax.Array] = None) -> State:
     theta = diag.theta
@@ -104,9 +167,14 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
     else:
         nc = jnp.where(supersat & (nc < 1.0), NC_DEFAULT, nc)
 
-    # --- 2. condensation / evaporation via saturation adjustment --------
-    qc_before = qc
-    theta, qv, qc = saturation_adjust(theta, qv, qc, p, pii)
+    # --- 2. condensation / evaporation ----------------------------------
+    if n_act is not None and cfg.physics.progn:
+        # predicted supersaturation, sub-stepped: the Nc-dependent phase
+        # relaxation makes S_max and droplet growth respond to aerosol
+        theta, qv, qc, _ = _supersat_condense(theta, qv, qc, nc, p, pii,
+                                              rho, dt)
+    else:
+        theta, qv, qc = saturation_adjust(theta, qv, qc, p, pii)
     t_air = theta * pii
     # full evaporation removes droplets; partial keeps number
     nc = jnp.where(qc <= 1e-12, 0.0, nc)

@@ -61,6 +61,19 @@ def activate(chem: Dict[str, jax.Array], t_air, p_air, rho_air, w_up,
              nbin: int) -> Tuple[jax.Array, jax.Array]:
     """Returns (n_act [#/kg air], smax) — activated number at cloud base for
     updraft w_up (same shape as t_air)."""
+    n_act, smax, _ = activate_fractions(chem, t_air, p_air, rho_air, w_up,
+                                        nbin)
+    return n_act, smax
+
+
+def activate_fractions(chem: Dict[str, jax.Array], t_air, p_air, rho_air,
+                       w_up, nbin: int):
+    """AR&G activation with the per-bin activated fractions exposed.
+
+    Returns (n_act [#/kg air], smax, fracs) where fracs is the list of
+    per-bin activated number fractions (0..1) used by the cloud-borne
+    aerosol bookkeeping (canonical: module_mixactivate.F fn/fm per-bin
+    activated fractions feeding the _cw phase)."""
     a_kelvin = _kelvin_a(t_air)
     es = 611.2 * jnp.exp(c.SVP2 * (t_air - c.SVPT0) / (t_air - c.SVP3))
     qs = c.EP_2 * es / jnp.maximum(p_air - es, 1.0)
@@ -99,6 +112,7 @@ def activate(chem: Dict[str, jax.Array], t_air, p_air, rho_air, w_up,
     grid_b = mbins.make_bins(nbin)
     ln_width = np.log(grid_b.d_hi[0] / grid_b.d_lo[0])
     n_act = 0.0
+    fracs = []
     for (num, v_dry, kappa, r_dry), sm in zip(props, sm_list):
         # critical dry radius at smax
         r_c = (4.0 * a_kelvin ** 3 / (27.0 * kappa * smax ** 2)) ** (1.0 / 3.0)
@@ -107,5 +121,6 @@ def activate(chem: Dict[str, jax.Array], t_air, p_air, rho_air, w_up,
         frac = 0.5 + (jnp.log(jnp.maximum(r_dry, 1e-10))
                       - jnp.log(jnp.maximum(r_c, 1e-10))) / ln_width
         frac = jnp.clip(frac, 0.0, 1.0)
+        fracs.append(frac)
         n_act = n_act + frac * num
-    return n_act, smax
+    return n_act, smax, fracs

@@ -124,6 +124,19 @@ def chem_species(chem: ChemConfig) -> Tuple[str, ...]:
             names.append(f"{s}_a{b:02d}")
         names.append(f"water_a{b:02d}")
         names.append(f"num_a{b:02d}")
+    if chem.cldchem_onoff:
+        # cloud-borne aerosol phase (canonical: the _cw species of
+        # registry.chem gated on the *_aq MOSAIC packages, handled by
+        # module_mosaic_cloudchem.F / module_mixactivate.F): per-bin
+        # activated mass + number living inside cloud droplets.  Advected
+        # like any tracer; activation moves interstitial -> _cw, droplet
+        # evaporation resuspends, aqueous S(IV)->S(VI) deposits here, and
+        # precipitation drains it (chem/aux.py cw_exchange /
+        # cloud_chemistry / wet_scavenging).
+        for b in range(1, nbin + 1):
+            for s in aer_species:
+                names.append(f"{s}_cw{b:02d}")
+            names.append(f"num_cw{b:02d}")
     if chem.chem_opt in (ChemOpt.CBMZ_MOSAIC_4BIN, ChemOpt.CBMZ_MOSAIC_8BIN):
         from wrfchem_arc_interactions_tpu.chem.gas import GAS_SPECIES
         names.extend(GAS_SPECIES)
