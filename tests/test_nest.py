@@ -110,3 +110,79 @@ def test_two_way_feedback_overlap_consistency():
         s.i_start + skip_p:s.i_start + s.nx_parent_cells - skip_p]
     np.testing.assert_allclose(p, sub, rtol=0, atol=1e-5)
     assert np.isfinite(np.asarray(nest.parent.state["w"])).all()
+
+
+@pytest.mark.slow
+def test_sharded_child_matches_single_device():
+    """Sharded nests: parent AND child advance under a 2x2 mesh (the
+    sharded specified-BC path) and match the single-device nested run to
+    f32 roundoff — the nest scatter/gather decomposition invariant."""
+    from wrfchem_arc_interactions_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(nx=24, ny=8, nz=12)
+    spec = NestSpec(i_start=8, j_start=2, nx_parent_cells=8,
+                    ny_parent_cells=4, ratio=3)
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0,
+                                  zc=1500.0, xr=6000.0, zr=1200.0,
+                                  three_d=True)
+    n1 = NestedSimulation(cfg, grid, dict(state), spec,
+                          theta_of_z=soundings.constant_n2_theta())
+    n1.advance(3)
+    n4 = NestedSimulation(cfg, grid, dict(state), spec,
+                          theta_of_z=soundings.constant_n2_theta(),
+                          mesh=make_mesh(2, 2))
+    n4.advance(3)
+    for which, a, b in (("parent", n1.parent.state, n4.parent.state),
+                        ("child", n1.child.state, n4.child.state)):
+        for name, tl in (("u", 5e-3), ("v", 5e-3), ("w", 5e-3),
+                         ("t", 5e-3), ("mu", 0.5), ("ph", 0.5)):
+            d = float(jnp.max(jnp.abs(jnp.asarray(a[name])
+                                      - jnp.asarray(b[name]))))
+            assert d < tl, f"{which}.{name}: diff {d}"
+
+
+def test_moving_nest_shift_is_exact():
+    """move(di, 0): surviving child content equals the pre-move state
+    rolled by di*ratio cells (whole-parent-cell moves align the grids
+    exactly); newly exposed strips come from parent interpolation."""
+    cfg = _cfg(nx=32, ny=12, nz=10)
+    spec = NestSpec(i_start=6, j_start=3, nx_parent_cells=8,
+                    ny_parent_cells=6, ratio=3)
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0,
+                                  zc=1500.0, xr=8000.0, zr=1200.0,
+                                  three_d=True)
+    nest = NestedSimulation(cfg, grid, state, spec,
+                            theta_of_z=soundings.constant_n2_theta())
+    nest.advance(1)
+    before = np.asarray(nest.child.state["t"]).copy()
+    nest.move(1, 0)
+    after = np.asarray(nest.child.state["t"])
+    r = spec.ratio
+    np.testing.assert_array_equal(after[:, :, :-r], before[:, :, r:])
+    assert nest.spec.i_start == spec.i_start + 1
+    # moving keeps the child advanceable and stable
+    nest.advance(2)
+    assert np.isfinite(np.asarray(nest.child.state["w"])).all()
+
+
+def test_follow_max_w_tracks_updraft():
+    """The vortex-following helper recentres the window toward the
+    parent's strongest updraft column (one parent cell per call)."""
+    cfg = _cfg(nx=32, ny=12, nz=10)
+    spec = NestSpec(i_start=4, j_start=3, nx_parent_cells=8,
+                    ny_parent_cells=6, ratio=3)
+    # bubble EAST of the child window centre
+    grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=3.0,
+                                  zc=1500.0, xr=6000.0, zr=1200.0,
+                                  three_d=True, xc_frac=0.7)
+    nest = NestedSimulation(cfg, grid, state, spec,
+                            theta_of_z=soundings.constant_n2_theta())
+    nest.advance(4)          # let the updraft develop
+    i0 = nest.spec.i_start
+    moved = nest.follow_max_w()
+    assert nest.spec.i_start >= i0
+    for _ in range(4):
+        nest.advance(1)
+        nest.follow_max_w()
+    assert nest.spec.i_start > i0, "window never moved toward the updraft"
+    assert np.isfinite(np.asarray(nest.child.state["w"])).all()

@@ -41,7 +41,8 @@ def _has_gas(cfg: Config) -> bool:
 
 def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
                 time_s=0.0,
-                emissions: Optional[Dict[str, jax.Array]] = None) -> State:
+                emissions: Optional[Dict[str, jax.Array]] = None,
+                julian_day: Optional[float] = None) -> State:
     ch = cfg.chem
     nbin = _nbin(cfg)
     moist = cfg.moist_species()
@@ -83,7 +84,8 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
     # 3-4. photolysis profile (coupled to the computed cloud + aerosol
     # optical state — the chem->J ARC pathway) + gas-phase mechanism
     if ch.gaschem_onoff and _has_gas(cfg):
-        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong)
+        zen_kw = {} if julian_day is None else {"julian_day": julian_day}
+        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong, **zen_kw)
         if int(ch.phot_opt) >= 2:
             # Fast-J-style spectral actinic flux: prognostic O3 absorption,
             # Rayleigh, cloud LWP, and the chem-computed aerosol optical

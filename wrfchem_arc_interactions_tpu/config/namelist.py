@@ -125,6 +125,14 @@ class TimeControl:
     history_interval_s: float = 600.0
     restart_interval_s: float = 0.0    # 0 => no restart writes
     restart: bool = False
+    # calendar start (start_year/month/... collapsed to one WRF ISO
+    # timestamp; drives the solar ephemeris + history timestamps via
+    # utils/clock.py — the ESMF-time analog).  Midnight default keeps the
+    # ideal cases' legacy "time_s == UTC hour" convention.
+    start_date: str = "2000-06-21_00:00:00"
+    # tslist analog (canonical share/wrf_timeseries.F): ((label, j, i), ...)
+    # grid points whose surface time series are recorded every step
+    ts_points: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

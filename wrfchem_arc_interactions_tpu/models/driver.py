@@ -71,6 +71,14 @@ class Simulation:
         self.output_dir = output_dir
         self.dt = cfg.time_control.dt
         self.time_s = 0.0
+        # ESMF-time analog: calendar clock for solar geometry, timestamps,
+        # and the tslist series (utils/clock.py)
+        from wrfchem_arc_interactions_tpu.utils.clock import ModelClock
+        self.clock = ModelClock(cfg.time_control.start_date)
+        self._solar_off = self.clock.utc_offset_s()
+        self._julian = self.clock.julian_day()
+        self.ts_series: Dict[str, list] = {
+            label: [] for (label, _, _) in cfg.time_control.ts_points}
         self.step_idx = 0
         self.step_times: List[float] = []
         self.hx = halo_ops_for(cfg, mesh)
@@ -163,16 +171,20 @@ class Simulation:
                 from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
                     radiation_driver,
                 )
+                jd, off = self._julian, self._solar_off
 
                 def fn(s, g, t_s):
-                    return radiation_driver(s, g, cfg, t_s)
+                    return radiation_driver(s, g, cfg, t_s + off,
+                                            julian_day=jd)
             elif key == "chem":
                 from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
                 emissions = self.emissions
+                jd, off = self._julian, self._solar_off
 
                 def fn(s, g, t_s):
                     return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
-                                       time_s=t_s, emissions=emissions)
+                                       time_s=t_s + off, emissions=emissions,
+                                       julian_day=jd)
             else:
                 raise ValueError(key)
             self._steppers[key] = self._wrap(fn)
@@ -222,8 +234,10 @@ class Simulation:
             if self.check_nans and not bool(jnp.isfinite(self.state["t"]).all()):
                 raise FloatingPointError(
                     f"NaN in theta at step {self.step_idx} (t={self.time_s}s)")
-            log(f"Timing for main: time {self.time_s:.1f} s on domain 1: "
-                f"{elapsed:.5f} elapsed seconds", level=2)
+            log(f"Timing for main: time {self.clock.timestamp(self.time_s)} "
+                f"on domain 1: {elapsed:.5f} elapsed seconds", level=2)
+            if self.ts_series:
+                self._record_ts()
             if self.hist_every and self.step_idx % self.hist_every == 0:
                 from wrfchem_arc_interactions_tpu.io import history as hio
                 ext = hio.default_extension()
@@ -238,6 +252,40 @@ class Simulation:
                     self.cfg, self.state, self.step_idx, self.time_s)
             if on_step is not None:
                 on_step(self)
+
+    def _record_ts(self):
+        """tslist analog (canonical: share/wrf_timeseries.F): per-step
+        surface series at registered (label, j, i) points."""
+        s = self.state
+        for label, j, i in self.cfg.time_control.ts_points:
+            row = {
+                "time_s": self.time_s,
+                "t_sfc": float(s["t"][0, j, i]) + 300.0,
+                "u_sfc": float(s["u"][0, j, i]),
+                "v_sfc": float(s["v"][0, j, i]),
+                "w_max": float(jnp.max(jnp.abs(s["w"][:, j, i]))),
+                "psfc": float(s["mu"][j, i]) + float(self.grid.mub[j, i])
+                        + self.grid.p_top,
+                "rainnc": float(s["rainnc"][j, i]) if "rainnc" in s else 0.0,
+            }
+            if "qv" in s:
+                row["qv_sfc"] = float(s["qv"][0, j, i])
+            self.ts_series[label].append(row)
+
+    def write_tslist(self, out_dir: str):
+        """Write each registered point's series as <label>.TS (the wrfout
+        tslist file analog: one header + one line per step)."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        for label, rows in self.ts_series.items():
+            path = os.path.join(out_dir, f"{label}.TS")
+            with open(path, "w") as f:
+                if rows:
+                    cols = list(rows[0].keys())
+                    f.write(" ".join(cols) + "\n")
+                    for r in rows:
+                        f.write(" ".join(f"{r[c]:.6g}" for c in cols) + "\n")
+        return [os.path.join(out_dir, f"{k}.TS") for k in self.ts_series]
 
     def run_seconds(self, seconds: float, **kw):
         self.advance(int(round(seconds / self.dt)), **kw)

@@ -141,13 +141,13 @@ def init_balanced(cfg: Config, grid: Grid,
 
 def warm_bubble(cfg: Config, grid: Grid, amplitude: float = 2.0,
                 zc: float = 1500.0, xr: float = 4000.0, zr: float = 1500.0,
-                three_d: bool = False) -> State:
+                three_d: bool = False, xc_frac: float = 0.5) -> State:
     """Dry(ish) rising warm bubble — the basic dycore validation case."""
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     z_w = np.asarray(grid.phb, np.float64) / c.G
     z = 0.5 * (z_w[:-1] + z_w[1:])
     theta0 = np.asarray(grid.t_init, np.float64)
-    xc = 0.5 * nx * grid.dx
+    xc = xc_frac * nx * grid.dx
     yc = 0.5 * ny * grid.dy if three_d else None
     yr = xr if three_d else None
     theta = theta0 + _bubble(grid, amplitude, xc, zc, xr, zr, yc, yr)

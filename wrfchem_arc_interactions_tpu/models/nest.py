@@ -26,8 +26,24 @@ TPU-native design decisions:
   spec+relax zones (the reference's feedback stencil).
 
 The child shares the parent's vertical levels and physics configuration —
-exactly the reference's constraint. Child runs single-device in this round
-(specified BCs under a mesh are scheduled with the sharded-boundary path).
+exactly the reference's constraint.
+
+- **Sharded nests**: pass ``mesh=`` (forwarded to both Simulations) — the
+  child advances under shard_map with the sharded specified-BC path; the
+  parent<->child interpolation matmuls and feedback block-averages run as
+  global (auto-sharded) XLA ops outside the shard_map regions, exactly the
+  RSL_LITE nest scatter/gather role (canonical: module_nesting.F
+  med_nest_* over distributed patches).
+- **Moving nests** (canonical: the prescribed-move/vortex-following nests
+  of frame/module_nesting.F): :meth:`NestedSimulation.move` shifts the
+  child window by whole parent cells — child content is rolled by
+  ratio*shift (exact: the grids align), newly exposed strips fill from
+  parent interpolation, and the interpolation matrices are rebuilt
+  host-side (same shapes, so the child's compiled step is reused).
+  :meth:`follow_max_w` recentres the window on the parent's strongest
+  updraft column (the vortex-following analog).  Moving nests require
+  flat terrain (a moving child over orography would need base-state
+  regeneration — documented limitation).
 """
 
 from __future__ import annotations
@@ -213,6 +229,70 @@ class NestedSimulation:
                       skip_p:s.nx_parent_cells - skip_p]
             out[n] = p.at[..., j0:j1, i0:i1].set(sub.astype(p.dtype))
         self.parent.state = out
+
+    # -- moving nest ------------------------------------------------------
+    def move(self, di: int, dj: int):
+        """Shift the child window by (di, dj) PARENT cells.
+
+        Child cell content moves by (-di*ratio, -dj*ratio) in child index
+        space (the window slides over the fluid); strips newly exposed on
+        the leading edge are filled by parent interpolation.  Prognostic
+        alignment is exact because moves are whole parent cells.
+        """
+        if float(np.abs(np.asarray(self.grid_child.ht)).max()) > 0.0:
+            raise NotImplementedError("moving nests require flat terrain")
+        s = self.spec
+        pny, pnx = self.parent.grid.ny, self.parent.grid.nx
+        ni = s.i_start + di
+        nj = s.j_start + dj
+        if not (0 <= ni and ni + s.nx_parent_cells <= pnx
+                and 0 <= nj and nj + s.ny_parent_cells <= pny):
+            raise ValueError("move would push the child outside the parent")
+        self.spec = dataclasses.replace(s, i_start=ni, j_start=nj)
+        self.interp = ParentToChild(self.spec, pny, pnx)
+        r = s.ratio
+        sx, sy = di * r, dj * r
+        cny, cnx = s.cny, s.cnx
+        names = [n for n in restart_names(self.parent.cfg)]
+        fresh = self.interp.state(self.parent.state, names)
+        ii = jnp.arange(cnx)
+        jj = jnp.arange(cny)
+        new_x = (ii >= cnx - sx) if sx > 0 else (ii < -sx)
+        new_y = (jj >= cny - sy) if sy > 0 else (jj < -sy)
+        newly = new_x[None, :] | new_y[:, None]          # (cny, cnx)
+        out = {}
+        for n, a in self.child.state.items():
+            b = jnp.roll(a, (-sy, -sx), axis=(-2, -1))
+            if n in fresh:
+                out[n] = jnp.where(newly, fresh[n].astype(a.dtype), b)
+            else:
+                out[n] = b                                # diagnostics ride along
+        self.child.state = out
+        # re-centre the boundary forcing on the new window immediately
+        snap = self.interp.state(self.parent.state, self.forced_names)
+        t0 = jnp.float32(self.parent.time_s)
+        self.child.boundary = LateralBoundary(lo=snap, hi=snap,
+                                              t_lo=t0, t_hi=t0 + 1.0)
+
+    def follow_max_w(self, threshold_cells: int = 2):
+        """Vortex-following analog: recentre the child window on the
+        parent column with the strongest updraft, moving at most one
+        parent cell per call per axis (the reference's move-rate cap)."""
+        w = self.parent.state["w"]
+        col = jnp.max(jnp.abs(w), axis=0)                # (ny, nx)
+        j, i = np.unravel_index(int(jnp.argmax(col)), col.shape)
+        s = self.spec
+        ci = s.i_start + s.nx_parent_cells // 2
+        cj = s.j_start + s.ny_parent_cells // 2
+        di = int(np.clip(i - ci, -1, 1)) if abs(i - ci) > threshold_cells else 0
+        dj = int(np.clip(j - cj, -1, 1)) if abs(j - cj) > threshold_cells else 0
+        if di or dj:
+            ni = np.clip(s.i_start + di, 0, self.parent.grid.nx - s.nx_parent_cells)
+            nj = np.clip(s.j_start + dj, 0, self.parent.grid.ny - s.ny_parent_cells)
+            di, dj = int(ni - s.i_start), int(nj - s.j_start)
+            if di or dj:
+                self.move(di, dj)
+        return di, dj
 
     # -- time stepping ----------------------------------------------------
     def advance(self, n_parent_steps: int):

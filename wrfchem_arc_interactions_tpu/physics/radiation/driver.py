@@ -95,7 +95,8 @@ def _columns(state: State, grid: Grid, cfg: Config):
     return p_lay, t_lay, dp_lay, qv, lwp, qcond, t_sfc, exner, (nz, ny, nx)
 
 
-def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
+def radiation_driver(state: State, grid: Grid, cfg: Config, time_s,
+                     julian_day: float = JULIAN_DAY) -> State:
     phys = cfg.physics
     p_lay, t_lay, dp_lay, qv, lwp, qcond, t_sfc, exner, (nz, ny, nx) = \
         _columns(state, grid, cfg)
@@ -150,14 +151,16 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s) -> State:
         out["olr"] = unflat(lw["olr"])
     if phys.ra_sw_physics == RAScheme.SIMPLE:
         from wrfchem_arc_interactions_tpu.physics.radiation.simple import sw_simple
-        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong).reshape(ncol)
+        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong,
+                         julian_day=julian_day).reshape(ncol)
         albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
         sw = sw_simple(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo)
         out["rthraten_sw"] = unflat(sw["heating"] / exner)
         out["swdown"] = unflat(sw["swdown"])
         out["swupt"] = unflat(sw["swup_toa"])
     elif phys.ra_sw_physics != RAScheme.NONE:
-        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong).reshape(ncol)
+        mu0 = cos_zenith(time_s, grid.xlat, grid.xlong,
+                         julian_day=julian_day).reshape(ncol)
         albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
         args = [p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo]
         has_aer, has_cf = aer_sw is not None, cf is not None
