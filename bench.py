@@ -142,11 +142,12 @@ def _child(args, timeout, env_extra=None):
     return None
 
 
-def config3_main(n_warm=3, n_time=100):
+def config3_main(n_warm=3, n_time=100, nx=100, ny=100):
     """Subprocess entry: measure config 3, one JSON line."""
     _enable_cache()
     import jax
-    gps3, step3, phases3 = _run(_cfg3(), n_warm=n_warm, n_time=n_time)
+    gps3, step3, phases3 = _run(_cfg3(nx=nx, ny=ny), n_warm=n_warm,
+                                n_time=n_time)
     print(json.dumps({
         "gridpoints_per_s_per_chip": round(gps3, 1),
         "ms_per_step": round(1e3 * step3, 2),
@@ -198,6 +199,12 @@ def main():
     extras["config4_interactive_arc"] = (
         _child(["--config4"], timeout=1200)
         or {"skipped": "time budget exceeded or service down"})
+    # larger per-chip shard: the step is op-overhead-bound at 100^2 x 50
+    # (artifacts/PERF_EVIDENCE_r3.md §2), so gridpoints/s/chip should RISE
+    # with shard size — the weak-scaling-favourable datapoint
+    extras["config3_large_200x200"] = (
+        _child(["--config3-large"], timeout=1500)
+        or {"skipped": "time budget exceeded or service down"})
     try:
         os.makedirs(os.path.join(_HERE, "artifacts"), exist_ok=True)
         with open(os.path.join(_HERE, "artifacts", "BENCH_extras.json"), "w") as f:
@@ -209,6 +216,8 @@ def main():
 if __name__ == "__main__":
     if "--config3" in sys.argv:
         config3_main()
+    elif "--config3-large" in sys.argv:
+        config3_main(n_warm=2, n_time=40, nx=200, ny=200)
     elif "--config3-small" in sys.argv:
         config3_main(n_warm=1, n_time=10)
     elif "--config4" in sys.argv:

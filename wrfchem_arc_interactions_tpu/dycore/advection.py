@@ -131,24 +131,30 @@ def _stencil_y(q_pad, ey=1, dx=0, ex=0):
     return tuple(win(q_pad, m, dx, ey=ey, ex=ex) for m in (-3, -2, -1, 0, 1, 2))
 
 
+def _zsl(q, lo, hi):
+    """Slice the z axis (axis -3, so arbitrary leading batch axes work)."""
+    return q[..., lo:hi, :, :]
+
+
 def _zpad(q, n=2):
-    """Edge-replicate ghost levels above/below along leading z axis."""
-    top = jnp.repeat(q[-1:], n, axis=0)
-    bot = jnp.repeat(q[:1], n, axis=0)
-    return jnp.concatenate([bot, q, top], axis=0)
+    """Edge-replicate ghost levels above/below along the z (-3) axis."""
+    top = jnp.repeat(_zsl(q, q.shape[-3] - 1, q.shape[-3]), n, axis=-3)
+    bot = jnp.repeat(_zsl(q, 0, 1), n, axis=-3)
+    return jnp.concatenate([bot, q, top], axis=-3)
 
 
 def _stencil_z(q, nfaces: int):
     """Stencil tuple for vertical faces k = 0..nfaces-1 where face k sits
-    between levels k-1 and k of `q`."""
+    between levels k-1 and k of `q` (z = axis -3; leading axes batch)."""
     qe = _zpad(q, 3)
     # face k: qm1 = q[k-1] = qe[k+2], q0 = q[k] = qe[k+3]
-    return tuple(qe[3 + m: 3 + m + nfaces] for m in (-3, -2, -1, 0, 1, 2))
+    return tuple(_zsl(qe, 3 + m, 3 + m + nfaces) for m in (-3, -2, -1, 0, 1, 2))
 
 
 def vflux(vel_faces, q, order: int):
-    """Vertical fluxes at the `vel_faces.shape[0]` faces of levels of q,
-    face k between q[k-1] and q[k].
+    """Vertical fluxes at the `vel_faces.shape[-3]` faces of levels of q,
+    face k between q[k-1] and q[k].  Leading axes (before z, y, x) batch —
+    the stacked-scalar path advects every tracer in one fused pass.
 
     SIGN OF THE UPWINDING: eta DECREASES with k (rdnw < 0), so the
     index-space transport direction is sign(ww * rdnw) = -sign(ww).  The
@@ -160,7 +166,7 @@ def vflux(vel_faces, q, order: int):
     upwind tests).  Evaluating with -ww and negating restores correct
     upwinding: even orders are algebraically unchanged, odd orders get the
     dissipation sign right."""
-    return -_hflux(-vel_faces, _stencil_z(q, vel_faces.shape[0]), order)
+    return -_hflux(-vel_faces, _stencil_z(q, vel_faces.shape[-3]), order)
 
 
 # ---------------------------------------------------------------------------
@@ -180,11 +186,12 @@ def flux_div(fx, fy, fz, grid: Grid, m_h=None) -> jax.Array:
     module_advect_em.F).  None (ideal, m == 1) keeps the flat-metric form.
     """
     rdnw = grid.rdnw.reshape(-1, 1, 1)
-    hdiv = ((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
-            + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy)
+    hdiv = ((fx[..., 1:] - fx[..., :-1]) * grid.rdx
+            + (fy[..., 1:, :] - fy[..., :-1, :]) * grid.rdy)
     if m_h is not None:
         hdiv = m_h[None] * hdiv
-    return -(hdiv + (fz[1:] - fz[:-1]) * rdnw)
+    dfz = _zsl(fz, 1, fz.shape[-3]) - _zsl(fz, 0, fz.shape[-3] - 1)
+    return -(hdiv + dfz * rdnw)
 
 
 def scalar_fluxes(q_pad, ru_pad, rv_pad, ww, h_order: int, v_order: int):
@@ -194,7 +201,7 @@ def scalar_fluxes(q_pad, ru_pad, rv_pad, ww, h_order: int, v_order: int):
     fy = _hflux(win(rv_pad, 0, 0, ey=1), _stencil_y(q_pad), v_order_to_h(h_order))
     fz = vflux(ww, win(q_pad, 0, 0), v_order)
     # omega vanishes at the rigid eta boundaries; enforce exactly.
-    fz = fz.at[0].set(0.0).at[-1].set(0.0)
+    fz = fz.at[..., 0, :, :].set(0.0).at[..., -1, :, :].set(0.0)
     return fx, fy, fz
 
 
@@ -206,7 +213,7 @@ def v_order_to_h(h_order: int) -> int:
 def advect_scalar(q_pad, ru_pad, rv_pad, ww, grid: Grid,
                   h_order: int = 5, v_order: int = 3) -> jax.Array:
     fx, fy, fz = scalar_fluxes(q_pad, ru_pad, rv_pad, ww, h_order, v_order)
-    m2 = grid.msft * grid.msft if grid.has_msf else None
+    m2 = grid.msft * grid.msft if getattr(grid, "has_msf", False) else None
     return flux_div(fx, fy, fz, grid, m_h=m2)
 
 
@@ -228,12 +235,12 @@ def advect_u(u_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
     # z fluxes at (w-level, u-face); vertical transport velocity is
     # Omega_u = ww_u / m_u (ww carries mu*eta_dot = m * Omega)
     ww_u = 0.5 * (win(ww_pad, 0, -1) + win(ww_pad, 0, 0))
-    if grid.has_msf:
+    if getattr(grid, "has_msf", False):
         ww_u = ww_u / grid.msfu[None]
     fz = vflux(ww_u, win(u_pad, 0, 0), v_order)
     fz = fz.at[0].set(0.0).at[-1].set(0.0)
     return flux_div(fx, fy, fz, grid,
-                    m_h=grid.msfu if grid.has_msf else None)
+                    m_h=grid.msfu if getattr(grid, "has_msf", False) else None)
 
 
 def advect_v(v_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
@@ -243,12 +250,12 @@ def advect_v(v_pad, ru_pad, rv_pad, ww_pad, grid: Grid,
     vel_c = 0.5 * (win(rv_pad, -1, 0, ey=1) + win(rv_pad, 0, 0, ey=1))
     fy = _hflux(vel_c, _stencil_y(v_pad), h_order)
     ww_v = 0.5 * (win(ww_pad, -1, 0) + win(ww_pad, 0, 0))
-    if grid.has_msf:
+    if getattr(grid, "has_msf", False):
         ww_v = ww_v / grid.msfv[None]
     fz = vflux(ww_v, win(v_pad, 0, 0), v_order)
     fz = fz.at[0].set(0.0).at[-1].set(0.0)
     return flux_div(fx, fy, fz, grid,
-                    m_h=grid.msfv if grid.has_msf else None)
+                    m_h=grid.msfv if getattr(grid, "has_msf", False) else None)
 
 
 def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
@@ -263,7 +270,7 @@ def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
     fy = _hflux(rv_w, _stencil_y(w_pad), h_order)
     # vertical flux of w at mass levels: omega averaged to centers
     om_c = 0.5 * (ww[:-1] + ww[1:])                     # (nz, ny, nx)
-    if grid.has_msf:
+    if getattr(grid, "has_msf", False):
         om_c = om_c / grid.msft[None]
     w_int = win(w_pad, 0, 0)                            # (nz+1, ny, nx)
     fz_c = vflux(om_c, w_int[1:], v_order)              # faces between w levels k, k+1
@@ -278,7 +285,7 @@ def advect_w(w_pad, ru_pad, rv_pad, ww, grid: Grid,
     ], axis=0)
     hdiv = ((fx[:, :, 1:] - fx[:, :, :-1]) * grid.rdx
             + (fy[:, 1:, :] - fy[:, :-1, :]) * grid.rdy)
-    if grid.has_msf:
+    if getattr(grid, "has_msf", False):
         hdiv = grid.msft[None] * hdiv
     return -hdiv - dfz
 
@@ -301,11 +308,12 @@ def limit_low_order(phi_old, lx, ly, lz, dt, grid: Grid, hx):
     positivity while remaining exactly conservative (each face is scaled
     once, by its donor's factor)."""
     rdnw = grid.rdnw.reshape(-1, 1, 1)
-    m2 = (grid.msft * grid.msft)[None] if grid.has_msf else 1.0
-    out_x = jnp.maximum(lx[:, :, 1:], 0.0) - jnp.minimum(lx[:, :, :-1], 0.0)
-    out_y = jnp.maximum(ly[:, 1:, :], 0.0) - jnp.minimum(ly[:, :-1, :], 0.0)
-    up_c = -lz[1:] * rdnw
-    lo_c = lz[:-1] * rdnw
+    m2 = (grid.msft * grid.msft)[None] if getattr(grid, "has_msf", False) else 1.0
+    nzf = lz.shape[-3]
+    out_x = jnp.maximum(lx[..., 1:], 0.0) - jnp.minimum(lx[..., :-1], 0.0)
+    out_y = jnp.maximum(ly[..., 1:, :], 0.0) - jnp.minimum(ly[..., :-1, :], 0.0)
+    up_c = -_zsl(lz, 1, nzf) * rdnw
+    lo_c = _zsl(lz, 0, nzf - 1) * rdnw
     out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
     p_out = dt * (m2 * (out_x * grid.rdx + out_y * grid.rdy) + out_z)
     r = jnp.where(p_out > 0.0,
@@ -316,8 +324,7 @@ def limit_low_order(phi_old, lx, ly, lz, dt, grid: Grid, hx):
     lx_s = lx * jnp.where(lx > 0, rw(0, -1, ex=1), rw(0, 0, ex=1))
     ly_s = ly * jnp.where(ly > 0, rw(-1, 0, ey=1), rw(0, 0, ey=1))
     r_ze = _zpad(r, 1)
-    nzf = lz.shape[0]
-    r_lo, r_hi = r_ze[0:nzf], r_ze[1:nzf + 1]
+    r_lo, r_hi = _zsl(r_ze, 0, nzf), _zsl(r_ze, 1, nzf + 1)
     # positive lz transports downward, draining the upper cell k (see the
     # az sign convention in pd_limit)
     lz_s = lz * jnp.where(lz > 0, r_hi, r_lo)
@@ -337,25 +344,26 @@ def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
     lx = flux1(win(ru_pad, 0, 0, ex=1), win(q_pad, 0, -1, ex=1), win(q_pad, 0, 0, ex=1))
     ly = flux1(win(rv_pad, 0, 0, ey=1), win(q_pad, -1, 0, ey=1), win(q_pad, 0, 0, ey=1))
     lz = vflux(ww, q_int, 1)
-    lz = lz.at[0].set(0.0).at[-1].set(0.0)
+    lz = lz.at[..., 0, :, :].set(0.0).at[..., -1, :, :].set(0.0)
     # rescale so the first-order transported solution is non-negative by
     # construction (not by assumption — see limit_low_order)
     lx, ly, lz = limit_low_order(phi_old, lx, ly, lz, dt, grid, hx)
-    m2 = (grid.msft * grid.msft) if grid.has_msf else None
+    m2 = (grid.msft * grid.msft) if getattr(grid, "has_msf", False) else None
     m2v = m2[None] if m2 is not None else 1.0
     phi_td = phi_old + dt * flux_div(lx, ly, lz, grid, m_h=m2)
     phi_td = jnp.maximum(phi_td, 0.0)
     # antidiffusive fluxes
     ax, ay, az = fx - lx, fy - ly, fz - lz
     rdnw = grid.rdnw.reshape(-1, 1, 1)
+    nzf = az.shape[-3]
     # total outgoing antidiffusive mass per cell (in phi units over dt)
-    out_x = jnp.maximum(ax[:, :, 1:], 0.0) - jnp.minimum(ax[:, :, :-1], 0.0)
-    out_y = jnp.maximum(ay[:, 1:, :], 0.0) - jnp.minimum(ay[:, :-1, :], 0.0)
+    out_x = jnp.maximum(ax[..., 1:], 0.0) - jnp.minimum(ax[..., :-1], 0.0)
+    out_y = jnp.maximum(ay[..., 1:, :], 0.0) - jnp.minimum(ay[..., :-1, :], 0.0)
     # eta flux divergence has a negative metric (rdnw < 0): outgoing mass in
     # phi units is dt * max(-(az[k+1]-az[k])*rdnw_contrib, 0) per face; split
     # per-face with the sign of the face contribution to -div.
-    up_c = -az[1:] * rdnw    # contribution of upper face to +d(phi)/dt
-    lo_c = az[:-1] * rdnw    # contribution of lower face
+    up_c = -_zsl(az, 1, nzf) * rdnw    # contribution of upper face to +d(phi)/dt
+    lo_c = _zsl(az, 0, nzf - 1) * rdnw  # contribution of lower face
     out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
     p_out = dt * (m2v * (out_x * grid.rdx + out_y * grid.rdy) + out_z)
     r = jnp.where(p_out > 0.0, jnp.minimum(1.0, phi_td / jnp.maximum(p_out, 1e-30)), 1.0)
@@ -367,8 +375,8 @@ def pd_limit(q_pad, phi_old, fx, fy, fz, ru_pad, rv_pad, ww,
     ay_l = ay * jnp.where(ay > 0, rw(-1, 0, ey=1), rw(0, 0, ey=1))
     r_int = r
     r_ze = _zpad(r_int, 1)
-    r_lo = r_ze[0:az.shape[0]]      # level k-1 for face k
-    r_hi = r_ze[1:az.shape[0] + 1]  # level k
+    r_lo = _zsl(r_ze, 0, nzf)       # level k-1 for face k
+    r_hi = _zsl(r_ze, 1, nzf + 1)   # level k
     # eta increases downward, so positive az at face k transports mass
     # downward, draining the upper cell k (donor); negative az drains the
     # lower cell k-1.
@@ -391,12 +399,12 @@ def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
     lx = flux1(win(ru_pad, 0, 0, ex=1), win(q_pad, 0, -1, ex=1), win(q_pad, 0, 0, ex=1))
     ly = flux1(win(rv_pad, 0, 0, ey=1), win(q_pad, -1, 0, ey=1), win(q_pad, 0, 0, ey=1))
     lz = vflux(ww, q_int, 1)
-    lz = lz.at[0].set(0.0).at[-1].set(0.0)
+    lz = lz.at[..., 0, :, :].set(0.0).at[..., -1, :, :].set(0.0)
     # guaranteed-positive low-order solution (see limit_low_order): without
     # this, phi_td < 0 under summed-CFL > 1 collapses r_minus to 0 and the
     # downstream floor manufactures scalar mass
     lx, ly, lz = limit_low_order(phi_old, lx, ly, lz, dt, grid, hx)
-    m2 = (grid.msft * grid.msft) if grid.has_msf else None
+    m2 = (grid.msft * grid.msft) if getattr(grid, "has_msf", False) else None
     m2v = m2[None] if m2 is not None else 1.0
     phi_td = phi_old + dt * flux_div(lx, ly, lz, grid, m_h=m2)
 
@@ -408,8 +416,11 @@ def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
              wn(q_pad, 1, 0, 3), wn(q_pad, -1, 0, 3),
              wn(qtd_pad, 0, 0, 1), wn(qtd_pad, 0, 1, 1), wn(qtd_pad, 0, -1, 1),
              wn(qtd_pad, 1, 0, 1), wn(qtd_pad, -1, 0, 1),
-             jnp.concatenate([q_int[:1], q_int[:-1]], axis=0),
-             jnp.concatenate([q_int[1:], q_int[-1:]], axis=0)]
+             jnp.concatenate([_zsl(q_int, 0, 1),
+                              _zsl(q_int, 0, q_int.shape[-3] - 1)], axis=-3),
+             jnp.concatenate([_zsl(q_int, 1, q_int.shape[-3]),
+                              _zsl(q_int, q_int.shape[-3] - 1,
+                                   q_int.shape[-3])], axis=-3)]
     q_max = neigh[0]
     q_min = neigh[0]
     for n_ in neigh[1:]:
@@ -420,13 +431,14 @@ def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
 
     ax, ay, az = fx - lx, fy - ly, fz - lz
     rdnw = grid.rdnw.reshape(-1, 1, 1)
+    nzf = az.shape[-3]
     # incoming / outgoing antidiffusive sums (in Phi units over dt)
-    in_x = jnp.maximum(-ax[:, :, 1:], 0.0) + jnp.maximum(ax[:, :, :-1], 0.0)
-    out_x = jnp.maximum(ax[:, :, 1:], 0.0) + jnp.maximum(-ax[:, :, :-1], 0.0)
-    in_y = jnp.maximum(-ay[:, 1:, :], 0.0) + jnp.maximum(ay[:, :-1, :], 0.0)
-    out_y = jnp.maximum(ay[:, 1:, :], 0.0) + jnp.maximum(-ay[:, :-1, :], 0.0)
-    up_c = -az[1:] * rdnw
-    lo_c = az[:-1] * rdnw
+    in_x = jnp.maximum(-ax[..., 1:], 0.0) + jnp.maximum(ax[..., :-1], 0.0)
+    out_x = jnp.maximum(ax[..., 1:], 0.0) + jnp.maximum(-ax[..., :-1], 0.0)
+    in_y = jnp.maximum(-ay[..., 1:, :], 0.0) + jnp.maximum(ay[..., :-1, :], 0.0)
+    out_y = jnp.maximum(ay[..., 1:, :], 0.0) + jnp.maximum(-ay[..., :-1, :], 0.0)
+    up_c = -_zsl(az, 1, nzf) * rdnw
+    lo_c = _zsl(az, 0, nzf - 1) * rdnw
     in_z = jnp.maximum(up_c, 0.0) + jnp.maximum(lo_c, 0.0)
     p_in = dt * (m2v * (in_x * grid.rdx + in_y * grid.rdy) + in_z)
     out_z = jnp.maximum(-up_c, 0.0) + jnp.maximum(-lo_c, 0.0)
@@ -451,9 +463,8 @@ def mono_limit(q_pad, phi_old, mu_new, fx, fy, fz, ru_pad, rv_pad, ww,
                      jnp.minimum(w1(rm, 0, 0, ey=1), w1(rp, -1, 0, ey=1)))
     rp_ze = _zpad(r_plus, 1)
     rm_ze = _zpad(r_minus, 1)
-    nzf = az.shape[0]
-    rp_lo, rp_hi = rp_ze[0:nzf], rp_ze[1:nzf + 1]
-    rm_lo, rm_hi = rm_ze[0:nzf], rm_ze[1:nzf + 1]
+    rp_lo, rp_hi = _zsl(rp_ze, 0, nzf), _zsl(rp_ze, 1, nzf + 1)
+    rm_lo, rm_hi = _zsl(rm_ze, 0, nzf), _zsl(rm_ze, 1, nzf + 1)
     az_f = jnp.where(az > 0,
                      jnp.minimum(rm_hi, rp_lo),   # downward: drains upper k
                      jnp.minimum(rm_lo, rp_hi))

@@ -340,29 +340,36 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         new["mu"] = mu_new
         new["ph"] = cplref["ph"] + pp_out["ph"]
 
-        # ---- scalars -------------------------------------------------
+        # ---- scalars (STACKED: every tracer — moist + chem — advects in
+        # one fused (ns, nz, ny, nx) pass; the per-species Python loop of
+        # the reference would compile to hundreds of small ops when the
+        # MOSAIC+CBM-Z packages carry ~100 tracers) -------------------
         final = istage == 2
         if final:
             gF = hx.pad_many({"ru": avg_flux["ru"], "rv": avg_flux["rv"]}, 3)
             ru_s, rv_s, ww_s = gF["ru"], gF["rv"], avg_flux["ww"]
         else:
             ru_s, rv_s, ww_s = ru_pad, rv_pad, ww
-        for q in scalars:
-            q_pad = gA[q]
-            fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s, h_s, v_s)
+        if scalars:
+            qs_pad = jnp.stack([gA[q] for q in scalars])
+            phi_s = jnp.stack([phi_old[q] for q in scalars])
+            fx, fy, fz = adv.scalar_fluxes(qs_pad, ru_s, rv_s, ww_s, h_s, v_s)
             if final and dyn.moist_adv_opt == AdvLimiter.POSITIVE_DEFINITE:
-                fx, fy, fz = adv.pd_limit(q_pad, phi_old[q], fx, fy, fz,
+                fx, fy, fz = adv.pd_limit(qs_pad, phi_s, fx, fy, fz,
                                           ru_s, rv_s, ww_s, dts, grid, hx)
             elif final and dyn.moist_adv_opt == AdvLimiter.MONOTONIC:
-                fx, fy, fz = adv.mono_limit(q_pad, phi_old[q], mu_full_new,
+                fx, fy, fz = adv.mono_limit(qs_pad, phi_s, mu_full_new,
                                             fx, fy, fz, ru_s, rv_s, ww_s,
                                             dts, grid, hx)
-            tend = (adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
-                    + mu_full[None] * pt.get(q, 0.0))
-            qn = (phi_old[q] + dts * tend) / mu_full_new[None]
-            if final and dyn.moist_adv_opt != AdvLimiter.NONE:
-                qn = jnp.maximum(qn, 0.0)
-            new[q] = qn
+            tend = adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
+            qn_s = (phi_s + dts * tend) / mu_full_new[None]
+            for i, q in enumerate(scalars):
+                qn = qn_s[i]
+                if q in pt:
+                    qn = qn + dts * mu_full[None] * pt[q] / mu_full_new[None]
+                if final and dyn.moist_adv_opt != AdvLimiter.NONE:
+                    qn = jnp.maximum(qn, 0.0)
+                new[q] = qn
 
         stage_state = new
 

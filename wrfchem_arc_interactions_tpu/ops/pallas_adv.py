@@ -57,23 +57,29 @@ def _adv_kernel(q_hbm, ru_hbm, rv_hbm, ww_hbm, rdnw_ref, meta_ref, out_ref,
     i = pl.program_id(0)
     ty = out_ref.shape[1]
     y0 = i * ty                                  # slab origin in padded coords
+    # Mosaic HBM slices must be 8-row (sublane-tile) aligned: the slab
+    # LENGTH is the scratch row count (ty + 2*PAD rounded up to 8; the
+    # wrapper over-pads the inputs so the last slab stays in bounds), and
+    # y0 = i*ty is aligned because ty is a multiple of 8 on hardware.
+    slab = q_s.shape[1]
 
     cp_q = pltpu.make_async_copy(
-        q_hbm.at[:, pl.ds(y0, ty + 2 * PAD), :], q_s, sem.at[0])
+        q_hbm.at[:, pl.ds(y0, slab), :], q_s, sem.at[0])
     cp_u = pltpu.make_async_copy(
-        ru_hbm.at[:, pl.ds(y0, ty + 2 * PAD), :], ru_s, sem.at[1])
+        ru_hbm.at[:, pl.ds(y0, slab), :], ru_s, sem.at[1])
     cp_v = pltpu.make_async_copy(
-        rv_hbm.at[:, pl.ds(y0, ty + 2 * PAD), :], rv_s, sem.at[2])
+        rv_hbm.at[:, pl.ds(y0, slab), :], rv_s, sem.at[2])
     cp_w = pltpu.make_async_copy(
-        ww_hbm.at[:, pl.ds(y0, ty), :], ww_s, sem.at[3])
+        ww_hbm.at[:, pl.ds(y0, ww_s.shape[1]), :], ww_s, sem.at[3])
     cp_q.start(); cp_u.start(); cp_v.start(); cp_w.start()
     cp_q.wait(); cp_u.wait(); cp_v.wait(); cp_w.wait()
 
     rdx = meta_ref[0]
     rdy = meta_ref[1]
     nz = out_ref.shape[0]
-    nxp = q_s.shape[2]
-    nx = nxp - 2 * PAD
+    # true interior width from the output block (the scratch x axis is
+    # over-padded to a 128-lane multiple for DMA alignment)
+    nx = out_ref.shape[2]
 
     q = q_s[:]                                    # (nz, ty+6, nxp)
     qc = q[:, PAD:PAD + ty, :]                    # central y rows
@@ -105,7 +111,7 @@ def _adv_kernel(q_hbm, ru_hbm, rv_hbm, ww_hbm, rdnw_ref, meta_ref, out_ref,
     bot = qi[0:1]
     qe = jnp.concatenate([bot, bot, qi, top, top], axis=0)  # (nz+4, ...)
     # face k (k = 0..nz): qm2..qp1 = qe[k], qe[k+1], qe[k+2], qe[k+3]
-    wfull = ww_s[:]                               # (nz+1, ty, nx)
+    wfull = ww_s[:, :, :nx]                       # (nz+1, ty, nx)
     # index-space upwinding: eta decreases with k, so evaluate the odd-order
     # formula with -ww and negate (advection.vflux sign contract)
     fz = -_flux3(-wfull, qe[0:nz + 1], qe[1:nz + 2], qe[2:nz + 3],
@@ -134,7 +140,33 @@ def advect_scalar_5_3(q_pad, ru_pad, rv_pad, ww, rdnw, rdx, rdy,
     """
     nz, nyp, nxp = q_pad.shape
     ny, nx = nyp - 2 * PAD, nxp - 2 * PAD
-    ty = _pick_ty(ny)
+    if interpret:
+        ty = _pick_ty(ny)
+        ny8 = ny
+        slab8 = ty + 2 * PAD
+        y_extra = 0
+    else:
+        # Mosaic DMA slices must be (8, 128)-tile aligned along the
+        # sublane (y) axis: fix ty = 8, round the interior row count up to
+        # a multiple of 8 (edge-padded garbage rows, sliced off below),
+        # and round the copied slab length ty + 2*PAD up to 16.
+        ty = 8
+        ny8 = -(-ny // ty) * ty
+        slab8 = -(-(ty + 2 * PAD) // 8) * 8
+        y_extra = (ny8 - ny) + (slab8 - (ty + 2 * PAD))
+    # lane-axis (x) DMA alignment: the copied slabs' last dim must be a
+    # 128 multiple on hardware
+    nxp_al = nxp if interpret else -(-nxp // 128) * 128
+    nxw_al = nx if interpret else -(-nx // 128) * 128
+    x_extra = nxp_al - nxp
+    if y_extra or x_extra:
+        pw = [(0, 0), (0, y_extra), (0, x_extra)]
+        q_pad = jnp.pad(q_pad, pw, mode="edge")
+        ru_pad = jnp.pad(ru_pad, pw, mode="edge")
+        rv_pad = jnp.pad(rv_pad, pw, mode="edge")
+    if ny8 != ny or nxw_al != nx:
+        ww = jnp.pad(ww, [(0, 0), (0, ny8 - ny), (0, nxw_al - nx)],
+                     mode="edge")
     meta = jnp.asarray([rdx, rdy], q_pad.dtype)
     # (nz, nx) layout keeps the lane axis wide (a (nz,1,1) array would tile
     # terribly in VMEM)
@@ -143,7 +175,7 @@ def advect_scalar_5_3(q_pad, ru_pad, rv_pad, ww, rdnw, rdx, rdy,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(ny // ty,),
+        grid=(ny8 // ty,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # q_pad
             pl.BlockSpec(memory_space=pltpu.ANY),      # ru_pad
@@ -155,19 +187,20 @@ def advect_scalar_5_3(q_pad, ru_pad, rv_pad, ww, rdnw, rdx, rdy,
         out_specs=pl.BlockSpec((nz, ty, nx), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nz, ty + 2 * PAD, nxp), q_pad.dtype),
-            pltpu.VMEM((nz, ty + 2 * PAD, nxp), q_pad.dtype),
-            pltpu.VMEM((nz, ty + 2 * PAD, nxp), q_pad.dtype),
-            pltpu.VMEM((nz + 1, ty, nx), q_pad.dtype),
+            pltpu.VMEM((nz, slab8, nxp_al), q_pad.dtype),
+            pltpu.VMEM((nz, slab8, nxp_al), q_pad.dtype),
+            pltpu.VMEM((nz, slab8, nxp_al), q_pad.dtype),
+            pltpu.VMEM((nz + 1, ty, nxw_al), q_pad.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _adv_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), q_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((nz, ny8, nx), q_pad.dtype),
         interpret=interpret,
     )(q_pad, ru_pad, rv_pad, ww, rdnw2, meta)
+    return out[:, :ny, :]
 
 
 def tpu_available() -> bool:

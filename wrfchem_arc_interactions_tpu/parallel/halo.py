@@ -235,7 +235,8 @@ class HaloOps:
 
 
 def overlap_stencil(hx: HaloOps, fields: Dict[str, jax.Array], width: int,
-                    fn, consts: Optional[Dict[str, jax.Array]] = None):
+                    fn, consts: Optional[Dict[str, jax.Array]] = None,
+                    overlap: bool = True):
     """Evaluate a plus-shaped stencil with halo comm overlapped by compute.
 
     ``fn(padded_fields, consts) -> pytree`` must be shape-polymorphic in the
@@ -255,8 +256,11 @@ def overlap_stencil(hx: HaloOps, fields: Dict[str, jax.Array], width: int,
     """
     consts = consts or {}
     decomposed = hx.sharded and (hx.mesh_x > 1 or hx.mesh_y > 1)
-    if not decomposed:
-        padded = {k: hx.pad(v, width) for k, v in fields.items()}
+    if not decomposed or not overlap:
+        # `overlap=False` is the A/B lever for measuring what the
+        # overlapped schedule buys (scripts/overlap_ab.py): a plain
+        # blocking exchange-then-compute pass, still fused via pad_many
+        padded = hx.pad_many(fields, width)
         return fn(padded, consts)
 
     # pack same-shaped fields into one stacked exchange (pad_many's packed

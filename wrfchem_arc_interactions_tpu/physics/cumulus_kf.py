@@ -53,10 +53,16 @@ EVAP_SUB = 0.3         # fraction of rain evaporated into the subcloud layer
 
 
 def kf_mass_flux(theta: jax.Array, qv: jax.Array, p: jax.Array,
-                 rho: jax.Array, dz: jax.Array, dt: float
+                 rho: jax.Array, dz: jax.Array, dt: float,
+                 eps_ent=EPS_ENT, del_det=DEL_DET, tau_cape=TAU_CAPE,
+                 pe_rain=PE_RAIN
                  ) -> Tuple[Dict[str, jax.Array], jax.Array]:
     """KF-style tendencies. Inputs (nz, ny, nx), k=0 surface. Returns
-    ({"th": dtheta/dt, "qv": dqv/dt}, precip rate [mm/s])."""
+    ({"th": dtheta/dt, "qv": dqv/dt}, precip rate [mm/s]).
+
+    The plume parameters are arguments (traced values allowed) so the
+    Grell-style ensemble (cumulus_grell.py) can vmap over the member
+    space; the defaults are the single-member KF configuration."""
     pii = (p / c.P0) ** c.RCP
     t_air = theta * pii
     nz = theta.shape[0]
@@ -81,9 +87,9 @@ def kf_mass_flux(theta: jax.Array, qv: jax.Array, p: jax.Array,
     def ascend(carry, xs):
         the_u, eta = carry
         the_e, dzk = xs
-        f = jnp.clip(EPS_ENT * dzk, 0.0, 0.5)
+        f = jnp.clip(eps_ent * dzk, 0.0, 0.5)
         the_u = the_u * (1.0 - f) + the_e * f        # dilution
-        eta = eta * (1.0 + f - jnp.clip(DEL_DET * dzk, 0.0, 0.5))
+        eta = eta * (1.0 + f - jnp.clip(del_det * dzk, 0.0, 0.5))
         return (the_u, eta), (the_u, eta)
 
     (_, _), (the_u, eta) = jax.lax.scan(
@@ -136,7 +142,7 @@ def kf_mass_flux(theta: jax.Array, qv: jax.Array, p: jax.Array,
     # condensation in the updraft per unit Mb: moisture convergence of the
     # plume = entrained vapor flux minus detrained saturation vapor
     qt_excess = jnp.maximum(qv_ml[None] - qvs_u, 0.0)
-    cond_unit = jnp.sum(mask * eta_c * qt_excess * EPS_ENT * dz
+    cond_unit = jnp.sum(mask * eta_c * qt_excess * eps_ent * dz
                         + is_top * eta_c * qt_excess, axis=0)
 
     # ---- 4. CAPE-removal closure ------------------------------------------
@@ -144,7 +150,7 @@ def kf_mass_flux(theta: jax.Array, qv: jax.Array, p: jax.Array,
     # integral, so dCAPE = -int g/T dT_env dz over the cloud layer
     dcape_unit = -jnp.sum(mask * c.G / t_air * (dth_unit * pii) * dz, axis=0)
     mb = jnp.where(dcape_unit < -1e-10,
-                   cape / (TAU_CAPE * jnp.maximum(-dcape_unit, 1e-10)), 0.0)
+                   cape / (tau_cape * jnp.maximum(-dcape_unit, 1e-10)), 0.0)
     # stability bound: subsidence CFL — at most the layer mass per step
     mb_max = 0.5 * jnp.min(
         jnp.where(mask > 0, rho * dz / jnp.maximum(eta_c, 1e-3), 1e9), axis=0) / dt
@@ -154,7 +160,7 @@ def kf_mass_flux(theta: jax.Array, qv: jax.Array, p: jax.Array,
 
     dth = mb[None] * dth_unit
     dqv = mb[None] * dqv_unit
-    rain = PE_RAIN * mb * cond_unit                   # [kg m-2 s-1]
+    rain = pe_rain * mb * cond_unit                   # [kg m-2 s-1]
 
     # ---- 5b. subcloud evaporation (bulk downdraft role) -------------------
     sub_mask = jnp.where(~above_base, 1.0, 0.0)

@@ -49,8 +49,16 @@ def pre_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         tend["th"] = state["rthraten_sw"] + state["rthraten_lw"]
 
     if phys.sf_sfclay_physics != SFScheme.NONE or phys.bl_pbl_physics != PBLScheme.NONE:
-        from wrfchem_arc_interactions_tpu.physics.pbl import surface_and_pbl
-        state, pbl_tend = surface_and_pbl(state, grid, cfg, dt)
+        if phys.bl_pbl_physics == PBLScheme.MYNN:
+            from wrfchem_arc_interactions_tpu.physics.pbl_mynn import (
+                mynn_column,
+            )
+            state, pbl_tend = mynn_column(state, grid, cfg, dt)
+        else:
+            from wrfchem_arc_interactions_tpu.physics.pbl import (
+                surface_and_pbl,
+            )
+            state, pbl_tend = surface_and_pbl(state, grid, cfg, dt)
         for k, v in pbl_tend.items():
             tend[k] = tend.get(k, 0.0) + v
 
@@ -77,6 +85,12 @@ def pre_dynamics(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             from wrfchem_arc_interactions_tpu.physics.cumulus import bmj_adjust
             cu_tend, precip = bmj_adjust(diag.theta, state["qv"], diag.p_full,
                                          rho, dz, dt)
+        elif phys.cu_physics == CUScheme.GRELL:
+            from wrfchem_arc_interactions_tpu.physics.cumulus_grell import (
+                grell_ensemble,
+            )
+            cu_tend, precip = grell_ensemble(diag.theta, state["qv"],
+                                             diag.p_full, rho, dz, dt)
         else:
             from wrfchem_arc_interactions_tpu.physics.cumulus_kf import kf_mass_flux
             cu_tend, precip = kf_mass_flux(diag.theta, state["qv"],

@@ -22,8 +22,20 @@ Per column (fully elementwise over (ny, nx); the 4 soil layers unroll):
    diffusion/drainage with constant diffusivity, gravitational drainage
    from the bottom layer.
 
-Simplifications vs the reference, documented: single land-use/soil
-category (loam-like constants), no snowpack, no canopy interception store.
+5. Snowpack (round 3): prognostic snow-water-equivalent `snow` [kg/m2] —
+   frozen precipitation accumulates (air-temperature partition),
+   sublimation draws from the pack before soil evaporation, the skin
+   temperature is capped at 0 C while snow remains with the excess energy
+   melting it (melt water infiltrates layer 1), snow raises the surface
+   albedo (depth-weighted patchiness) and insulates the ground-heat path
+   (series conductance through the pack).
+6. Vegetation classes (round 3): the per-cell `ivgtyp` index selects
+   (rc_min, LAI, albedo, moisture-access) from VEG_TABLE — the
+   USGS-category table role of the reference's VEGPARM.TBL, collapsed to
+   the classes the scenarios use.
+
+Remaining simplification vs the reference, documented: single soil
+texture (loam constants), no canopy interception store.
 """
 
 from __future__ import annotations
@@ -50,6 +62,32 @@ ALBEDO = 0.2
 EMISS = 0.98
 C_SKIN = 2.0e4                   # skin heat capacity [J/m2/K]
 
+# snowpack constants
+T_FRZ = 273.15
+RHO_SNOW = 150.0                 # bulk pack density [kg/m3]
+K_SNOW = 0.3                     # pack thermal conductivity [W/m/K]
+ALB_SNOW = 0.7
+SWE_FULL = 10.0                  # SWE [kg/m2] for ~full snow cover
+XLF = 3.34e5                     # latent heat of fusion [J/kg]
+XLS = 2.83e6                     # latent heat of sublimation [J/kg]
+
+# vegetation classes (the VEGPARM.TBL role): index by ivgtyp
+#   0 cropland/grass (default), 1 forest, 2 shrub/semi-arid, 3 bare soil,
+#   4 urban, 5 water (not really land; kept wet)
+VEG_RCMIN = jnp.asarray([70.0, 150.0, 120.0, 400.0, 400.0, 20.0])
+VEG_LAI = jnp.asarray([2.0, 4.0, 1.2, 0.2, 0.5, 0.1])
+VEG_ALB = jnp.asarray([0.20, 0.12, 0.22, 0.30, 0.15, 0.08])
+
+
+def veg_params(ivgtyp):
+    """(rc_min, lai, albedo) fields from the class-index field (float or
+    int (ny, nx); None -> class-0 defaults)."""
+    if ivgtyp is None:
+        return RC_MIN, LAI, ALBEDO
+    idx = jnp.clip(ivgtyp.astype(jnp.int32), 0, VEG_RCMIN.shape[0] - 1)
+    return (jnp.take(VEG_RCMIN, idx), jnp.take(VEG_LAI, idx),
+            jnp.take(VEG_ALB, idx))
+
 
 def _k_soil(sm):
     w = jnp.clip((sm - SM_WLT) / (SM_SAT - SM_WLT), 0.0, 1.0)
@@ -62,31 +100,67 @@ def soil_beta(sm1):
 
 
 def noah_step(state: Dict[str, jax.Array], hfx, qfx_pot, ra, rho0,
-              precip_rate, swdown, glw, dt: float) -> Dict[str, jax.Array]:
-    """Advance (tsk, tslb, smois). qfx_pot: potential evaporation
+              precip_rate, swdown, glw, dt: float,
+              t_air0=None) -> Dict[str, jax.Array]:
+    """Advance (tsk, tslb, smois[, snow]). qfx_pot: potential evaporation
     [kg/m2/s] at beta=1 without canopy resistance; ra: aerodynamic
-    resistance [s/m].  Returns updated state dict entries + 'qfx_eff'."""
+    resistance [s/m]; t_air0: lowest-level air temperature (rain/snow
+    partition; defaults to tsk).  Returns updated state dict entries +
+    'qfx_eff'."""
     tslb = state["tslb"]                          # (4, ny, nx)
     smois = state["smois"]
     tsk = state["tsk"]
     tmn = state.get("tmn", tslb[-1])
+    snow = state.get("snow")                      # SWE [kg/m2] or None
+    has_snow_state = snow is not None
+    if not has_snow_state:
+        snow = jnp.zeros_like(tsk)
+    t_sfc_air = tsk if t_air0 is None else t_air0
+    rc_min, lai, alb_veg = veg_params(state.get("ivgtyp"))
 
-    # ---- 3. actual evaporation --------------------------------------------
+    # ---- 5a. snowfall accumulation ----------------------------------------
+    frozen = t_sfc_air < T_FRZ
+    snowfall = jnp.where(frozen, precip_rate, 0.0)        # kg/m2/s (= mm/s)
+    rain_liquid = jnp.where(frozen, 0.0, precip_rate)
+    snow = snow + dt * snowfall
+    snow_cover = jnp.clip(snow / SWE_FULL, 0.0, 1.0)
+
+    # ---- 3. actual evaporation (sublimation from the pack first) ----------
     beta = soil_beta(smois[0])
     f_sm = soil_beta(0.5 * (smois[0] + smois[1]))
-    rc = RC_MIN / (LAI * f_sm)
-    qfx = qfx_pot * beta * ra / (ra + rc)
-    lh = c.XLV * qfx
+    rc = rc_min / (lai * f_sm)
+    qfx_soil = qfx_pot * beta * ra / (ra + rc)
+    # snow-covered fraction sublimates at the potential rate, bounded by
+    # the pack over this step
+    qfx_snow = jnp.minimum(snow_cover * jnp.maximum(qfx_pot, 0.0),
+                           snow / jnp.maximum(dt, 1e-6))
+    snow = jnp.maximum(snow - dt * qfx_snow, 0.0)
+    qfx = (1.0 - snow_cover) * qfx_soil + qfx_snow
+    lh = c.XLV * (1.0 - snow_cover) * qfx_soil + XLS * qfx_snow
 
     # ---- 1. skin energy balance (linearised emission) ----------------------
-    rn = (1.0 - ALBEDO) * swdown + EMISS * (glw - c.STBOLT * tsk ** 4)
-    k1 = _k_soil(smois[0])
-    g_flux = k1 * (tsk - tslb[0]) / (0.5 * DZ_SOIL[0])
+    albedo = alb_veg * (1.0 - snow_cover) + ALB_SNOW * snow_cover
+    rn = (1.0 - albedo) * swdown + EMISS * (glw - c.STBOLT * tsk ** 4)
+    k_soil1 = _k_soil(smois[0])
+    # ground-heat path: soil half-layer in series with the snow pack
+    d_snow = snow / RHO_SNOW
+    r_ground = 0.5 * DZ_SOIL[0] / k_soil1 + d_snow / K_SNOW
+    k1 = (0.5 * DZ_SOIL[0]) / r_ground            # effective conductance base
+    g_flux = (tsk - tslb[0]) / r_ground
     resid = rn - hfx - lh - g_flux
-    # implicit-in-emission update: d(resid)/dTsk ~ -4 eps sig T^3 - k/dz
-    denom = C_SKIN / dt + 4.0 * EMISS * c.STBOLT * tsk ** 3 \
-        + k1 / (0.5 * DZ_SOIL[0])
+    # implicit-in-emission update: d(resid)/dTsk ~ -4 eps sig T^3 - 1/r
+    denom = C_SKIN / dt + 4.0 * EMISS * c.STBOLT * tsk ** 3 + 1.0 / r_ground
     tsk_new = tsk + resid / denom
+
+    # ---- 5b. snowmelt: cap the skin at 0 C while snow remains; the energy
+    # that would overshoot melts the pack, melt water joins infiltration
+    overshoot = jnp.maximum(tsk_new - T_FRZ, 0.0)
+    melt_energy = overshoot * denom               # W/m2 equivalent
+    melt = jnp.where(snow > 0.0,
+                     jnp.minimum(melt_energy / XLF, snow / dt), 0.0)
+    snow = jnp.maximum(snow - dt * melt, 0.0)
+    tsk_new = jnp.where((snow > 0.0) & (tsk_new > T_FRZ), T_FRZ, tsk_new)
+    rain_liquid = rain_liquid + melt
 
     # ---- 2. soil heat diffusion (4-layer implicit, unrolled Thomas) -------
     kf = [0.5 * (_k_soil(smois[i]) + _k_soil(smois[i + 1])) for i in range(3)]
@@ -127,9 +201,11 @@ def noah_step(state: Dict[str, jax.Array], hfx, qfx_pot, ra, rho0,
 
     # ---- 4. bucket hydrology ----------------------------------------------
     sm = [smois[i] for i in range(4)]
-    # infiltration + evaporation on layer 1 [m3/m3 per layer depth]
-    infil = precip_rate * 1e-3 / dz[0]            # mm/s -> m/s / dz
-    sm[0] = sm[0] + dt * (infil - qfx / (1000.0 * dz[0]))
+    # infiltration of LIQUID water (rain + snowmelt; frozen precip sits in
+    # the pack) + evaporation on layer 1 [m3/m3 per layer depth]
+    infil = rain_liquid * 1e-3 / dz[0]            # mm/s -> m/s / dz
+    sm[0] = sm[0] + dt * (infil - (1.0 - snow_cover) * qfx_soil
+                          / (1000.0 * dz[0]))
     # inter-layer diffusion + drainage
     for i in range(3):
         grad = (sm[i] - sm[i + 1]) / dzw[i]
@@ -140,5 +216,8 @@ def noah_step(state: Dict[str, jax.Array], hfx, qfx_pot, ra, rho0,
     sm[3] = sm[3] - dt * drain / dz[3]
     smois_new = jnp.stack([jnp.clip(s, 0.02, SM_SAT) for s in sm])
 
-    return {"tsk": tsk_new, "tslb": tslb_new, "smois": smois_new,
-            "qfx_eff": qfx}
+    out = {"tsk": tsk_new, "tslb": tslb_new, "smois": smois_new,
+           "qfx_eff": qfx}
+    if has_snow_state:
+        out["snow"] = snow
+    return out

@@ -167,11 +167,14 @@ def surface_and_pbl(state: State, grid: Grid, cfg: Config,
         prev = state.get("rain_prev", rain)
         precip_rate = jnp.maximum(rain - prev, 0.0) / dt
         upd = lsm.noah_step(state, hfx, qfx_pot, ra, rho[0], precip_rate,
-                            state["swdown"], state["glw"], dt)
+                            state["swdown"], state["glw"], dt,
+                            t_air0=t_air[0])
         out["tsk"] = upd["tsk"]
         out["tslb"] = upd["tslb"]
         out["smois"] = upd["smois"]
         out["qfx"] = upd["qfx_eff"]
+        if "snow" in upd:
+            out["snow"] = upd["snow"]
         if "rain_prev" in state:
             out["rain_prev"] = rain
     elif "swdown" in state:

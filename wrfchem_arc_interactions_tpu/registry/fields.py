@@ -237,6 +237,12 @@ def _phys_fields(cfg: Config) -> Tuple[FieldSpec, ...]:
             FieldSpec("rain_prev", DIMS_YX, STAG_NONE, "mm",
                       "accumulated precip at the previous LSM call "
                       "(for the infiltration rate)", restart=True),
+            FieldSpec("snow", DIMS_YX, STAG_NONE, "kg m-2",
+                      "snow water equivalent (canonical SNOW of "
+                      "module_sf_noahlsm.F)", restart=True, history=True),
+            FieldSpec("ivgtyp", DIMS_YX, STAG_NONE, "1",
+                      "vegetation class index into lsm.VEG_TABLE "
+                      "(canonical IVGTYP/VEGPARM.TBL)", restart=True),
         ]
     if cfg.dynamics.sppt_amp > 0.0 or cfg.dynamics.skebs_amp > 0.0:
         # stochastic-physics pattern state (canonical: module_stoch.F
@@ -252,6 +258,13 @@ def _phys_fields(cfg: Config) -> Tuple[FieldSpec, ...]:
             FieldSpec("tke", DIMS_ZYX, STAG_NONE, "m2 s-2",
                       "subgrid turbulent kinetic energy", halo=2, restart=True,
                       advected=True, positive=True))
+    if phys.bl_pbl_physics.value == "mynn":
+        # MYNN level-2.5 prognostic QKE = 2*TKE (canonical: the QKE state
+        # variable of module_bl_mynn.F, advected as bl_mynn_tkeadvect=1)
+        specs.append(
+            FieldSpec("qke", DIMS_ZYX, STAG_NONE, "m2 s-2",
+                      "MYNN QKE (2x turbulent kinetic energy)", halo=3,
+                      restart=True, advected=True, positive=True))
     return tuple(specs)
 
 
