@@ -1,0 +1,46 @@
+"""The reference-data watcher (scripts/validate_reference.py) must run
+cleanly in BOTH worlds: while /root/reference stays empty it reports every
+oracle as absent (with the blocking consequence named), and the moment
+data appears its scanners engage — exercised here against a synthetic
+populated mount so the found-path code cannot rot."""
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(_REPO, "scripts", "validate_reference.py")
+
+
+def _run(ref_dir):
+    env = dict(os.environ, REFERENCE_DIR=str(ref_dir))
+    r = subprocess.run([sys.executable, SCRIPT], env=env, timeout=300,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(os.path.join(_REPO, "artifacts",
+                           "REFERENCE_VALIDATION.json")) as f:
+        return json.load(f)
+
+
+def test_empty_mount_reports_absent(tmp_path):
+    rep = _run(tmp_path)
+    assert rep["mount_populated"] is False
+    for key in ("rrtmg_data", "golden_wrfout", "cbmz_rates"):
+        assert rep[key]["status"] == "absent"
+        assert "blocking" in rep[key]
+
+
+def test_populated_mount_engages_scanners(tmp_path):
+    (tmp_path / "dyn_em").mkdir()
+    (tmp_path / "dyn_em" / "solve_em.F").write_text("! ARW solver\n")
+    (tmp_path / "chem").mkdir()
+    (tmp_path / "chem" / "module_cbmz.F").write_text(
+        "rk(1) = ARR( 2.6e-34 , 0.0 )\nrk(2) = ARR( 1.8e-12 , -1370.0 )\n")
+    rep = _run(tmp_path)
+    assert rep["mount_populated"] is True
+    assert rep["source_tree"]["status"] == "found"
+    assert rep["source_tree"]["markers_found"] >= 2
+    cb = rep["cbmz_rates"]
+    assert cb["status"] == "found"
+    assert len(cb["sample_rate_constants"]) == 2
