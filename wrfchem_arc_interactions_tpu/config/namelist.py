@@ -130,8 +130,11 @@ class TimeControl:
     # calendar start (start_year/month/... collapsed to one WRF ISO
     # timestamp; drives the solar ephemeris + history timestamps via
     # utils/clock.py — the ESMF-time analog).  Midnight default keeps the
-    # ideal cases' legacy "time_s == UTC hour" convention.
-    start_date: str = "2000-06-21_00:00:00"
+    # ideal cases' legacy "time_s == UTC hour" convention, and June 20
+    # makes julian_day() == the radiation driver's near-solstice default
+    # (172), so default configs trace the byte-identical legacy program
+    # and keep hitting the persistent compile cache.
+    start_date: str = "2000-06-20_00:00:00"
     # tslist analog (canonical share/wrf_timeseries.F): ((label, j, i), ...)
     # grid points whose surface time series are recorded every step
     ts_points: tuple = ()

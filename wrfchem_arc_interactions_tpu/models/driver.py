@@ -169,22 +169,38 @@ class Simulation:
                     return s
             elif key == "rad":
                 from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
-                    radiation_driver,
+                    JULIAN_DAY, radiation_driver,
                 )
                 jd, off = self._julian, self._solar_off
-
-                def fn(s, g, t_s):
-                    return radiation_driver(s, g, cfg, t_s + off,
-                                            julian_day=jd)
+                # with the default calendar (midnight, default julian) build
+                # the byte-identical legacy program so the persistent
+                # compile cache keeps hitting (the remote-compile service
+                # is slow/flaky; cache insurance matters more than an
+                # unused +0.0 in the graph)
+                if off == 0.0 and jd == JULIAN_DAY:
+                    def fn(s, g, t_s):
+                        return radiation_driver(s, g, cfg, t_s)
+                else:
+                    def fn(s, g, t_s):
+                        return radiation_driver(s, g, cfg, t_s + off,
+                                                julian_day=jd)
             elif key == "chem":
                 from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
+                from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
+                    JULIAN_DAY,
+                )
                 emissions = self.emissions
                 jd, off = self._julian, self._solar_off
-
-                def fn(s, g, t_s):
-                    return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
-                                       time_s=t_s + off, emissions=emissions,
-                                       julian_day=jd)
+                if off == 0.0 and jd == JULIAN_DAY:
+                    def fn(s, g, t_s):
+                        return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
+                                           time_s=t_s, emissions=emissions)
+                else:
+                    def fn(s, g, t_s):
+                        return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
+                                           time_s=t_s + off,
+                                           emissions=emissions,
+                                           julian_day=jd)
             else:
                 raise ValueError(key)
             self._steppers[key] = self._wrap(fn)

