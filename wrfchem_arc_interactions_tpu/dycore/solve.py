@@ -340,36 +340,39 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         new["mu"] = mu_new
         new["ph"] = cplref["ph"] + pp_out["ph"]
 
-        # ---- scalars (STACKED: every tracer — moist + chem — advects in
-        # one fused (ns, nz, ny, nx) pass; the per-species Python loop of
-        # the reference would compile to hundreds of small ops when the
-        # MOSAIC+CBM-Z packages carry ~100 tracers) -------------------
+        # ---- scalars -------------------------------------------------
+        # NOTE on batching: the advection/limiter operators are fully
+        # batch-aware (a stacked (ns, nz, ny, nx) pass advects every
+        # tracer at once — see tests/test_advection.py and the Grell
+        # ensemble's vmap), but the measured TPU A/B REGRESSED the
+        # config-3 step 47 -> 77 ms when solve.py stacked its 3 moist
+        # tracers (artifacts/PERF_EVIDENCE_r3.md §5: the stack/unstack
+        # materialisations and 4D layouts cost more than the op-count
+        # win at small ns).  The per-tracer loop therefore remains the
+        # production path until a measured win at high tracer counts
+        # justifies switching (the batched entry point is one line).
         final = istage == 2
         if final:
             gF = hx.pad_many({"ru": avg_flux["ru"], "rv": avg_flux["rv"]}, 3)
             ru_s, rv_s, ww_s = gF["ru"], gF["rv"], avg_flux["ww"]
         else:
             ru_s, rv_s, ww_s = ru_pad, rv_pad, ww
-        if scalars:
-            qs_pad = jnp.stack([gA[q] for q in scalars])
-            phi_s = jnp.stack([phi_old[q] for q in scalars])
-            fx, fy, fz = adv.scalar_fluxes(qs_pad, ru_s, rv_s, ww_s, h_s, v_s)
+        for q in scalars:
+            q_pad = gA[q]
+            fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s, h_s, v_s)
             if final and dyn.moist_adv_opt == AdvLimiter.POSITIVE_DEFINITE:
-                fx, fy, fz = adv.pd_limit(qs_pad, phi_s, fx, fy, fz,
+                fx, fy, fz = adv.pd_limit(q_pad, phi_old[q], fx, fy, fz,
                                           ru_s, rv_s, ww_s, dts, grid, hx)
             elif final and dyn.moist_adv_opt == AdvLimiter.MONOTONIC:
-                fx, fy, fz = adv.mono_limit(qs_pad, phi_s, mu_full_new,
+                fx, fy, fz = adv.mono_limit(q_pad, phi_old[q], mu_full_new,
                                             fx, fy, fz, ru_s, rv_s, ww_s,
                                             dts, grid, hx)
-            tend = adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
-            qn_s = (phi_s + dts * tend) / mu_full_new[None]
-            for i, q in enumerate(scalars):
-                qn = qn_s[i]
-                if q in pt:
-                    qn = qn + dts * mu_full[None] * pt[q] / mu_full_new[None]
-                if final and dyn.moist_adv_opt != AdvLimiter.NONE:
-                    qn = jnp.maximum(qn, 0.0)
-                new[q] = qn
+            tend = (adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
+                    + mu_full[None] * pt.get(q, 0.0))
+            qn = (phi_old[q] + dts * tend) / mu_full_new[None]
+            if final and dyn.moist_adv_opt != AdvLimiter.NONE:
+                qn = jnp.maximum(qn, 0.0)
+            new[q] = qn
 
         stage_state = new
 
