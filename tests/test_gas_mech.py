@@ -94,3 +94,23 @@ def test_j_profile_reduced_under_thick_aerosol():
     qc2 = qc.at[6].set(1e-3)
     j_cld = aux.photolysis_profile(mu0, qc2, rho, dz, None)
     assert float(j_cld[0, 0, 0]) < float(j_clean[0, 0, 0])
+
+
+def test_cell_chunked_integration_matches_unchunked():
+    """integrate() processes >CELL_CHUNK cell batches via lax.map chunks
+    (the HBM-bounding fix for the config-4 executable whose dense ROS2
+    temporaries exceeded v5e HBM); chunking must be numerically inert."""
+    import jax.numpy as jnp
+    import numpy as np
+    from wrfchem_arc_interactions_tpu.chem import gas
+
+    ncell = 2 * gas.CELL_CHUNK + 137        # forces 3 chunks + padding
+    t_air = jnp.full((ncell,), 288.0)
+    m_air = jnp.full((ncell,), 2.5e19)
+    k = gas.rate_constants(t_air, m_air, jnp.full((ncell,), 1.0))
+    conc = jnp.ones((gas.NS, ncell), jnp.float32) * 1e9
+    a = gas.integrate(conc, k, 60.0)
+    b = gas.integrate(conc, k, 60.0, cell_chunk=10 ** 9)
+    rel = float(jnp.max(jnp.abs(a - b) / (jnp.abs(b) + 1.0)))
+    assert rel < 1e-4, rel
+    assert a.shape == conc.shape

@@ -326,12 +326,37 @@ def step_ros2(conc: jax.Array, k: jax.Array, dt: float) -> jax.Array:
     return jnp.maximum(out, 0.0)
 
 
+# cells per dense-solve batch: the ROS2 step materialises several
+# (ns, ns, ncell) temporaries (Jacobian, I - gamma dt J, LU factors) — at
+# 55 species and 5e5 cells that is ~6 GB EACH and the config-4 chem
+# executable exceeded v5e HBM (27.5 G asked vs 15.75 G).  lax.map over
+# 8192-cell chunks bounds the live set to ~100 MB per temporary with no
+# numerical change (cells are independent).
+CELL_CHUNK = 8192
+
+
 def integrate(conc: jax.Array, k: jax.Array, dt_total: float,
-              n_sub: int = 4) -> jax.Array:
+              n_sub: int = 4, cell_chunk: int = CELL_CHUNK) -> jax.Array:
     """Integrate the mechanism over dt_total with fixed ROS2 substeps
     (fixed iteration count: the TPU-friendly replacement for adaptive KPP
-    stepping; SURVEY.md §7.3-5 accuracy-vs-iterations tradeoff)."""
+    stepping; SURVEY.md §7.3-5 accuracy-vs-iterations tradeoff).  Large
+    cell batches are processed in HBM-bounded chunks."""
     dt = dt_total / n_sub
-    for _ in range(n_sub):
-        conc = step_ros2(conc, k, dt)
-    return conc
+
+    def run(c, kk):
+        for _ in range(n_sub):
+            c = step_ros2(c, kk, dt)
+        return c
+
+    ncell = conc.shape[-1]
+    if ncell <= cell_chunk:
+        return run(conc, k)
+    nchunk = -(-ncell // cell_chunk)
+    pad = nchunk * cell_chunk - ncell
+    conc_p = jnp.pad(conc, ((0, 0), (0, pad)), mode="edge")
+    k_p = jnp.pad(k, ((0, 0), (0, pad)), mode="edge")
+    cs = jnp.moveaxis(conc_p.reshape(NS, nchunk, cell_chunk), 1, 0)
+    ks = jnp.moveaxis(k_p.reshape(k.shape[0], nchunk, cell_chunk), 1, 0)
+    out = jax.lax.map(lambda args: run(*args), (cs, ks))
+    out = jnp.moveaxis(out, 0, 1).reshape(NS, nchunk * cell_chunk)
+    return out[:, :ncell]
