@@ -126,6 +126,7 @@ class TimeControl:
     run_seconds: float = 3600.0
     history_interval_s: float = 600.0
     restart_interval_s: float = 0.0    # 0 => no restart writes
+    auxhist_interval_s: float = 0.0    # pressure-level diag stream (io/diags)
     restart: bool = False
     # calendar start (start_year/month/... collapsed to one WRF ISO
     # timestamp; drives the solar ephemeris + history timestamps via

@@ -87,6 +87,8 @@ class Simulation:
             if (output_dir and tc.history_interval_s > 0) else 0
         self.rst_every = max(1, round(tc.restart_interval_s / self.dt)) \
             if (output_dir and tc.restart_interval_s > 0) else 0
+        self.aux_every = max(1, round(tc.auxhist_interval_s / self.dt)) \
+            if (output_dir and tc.auxhist_interval_s > 0) else 0
 
         # alarm cadences in steps (0 = never)
         self.rad_every = max(1, round(cfg.physics.radt_s / self.dt)) \
@@ -266,6 +268,15 @@ class Simulation:
                 hio.write_restart(
                     f"{self.output_dir}/restart_{self.step_idx:06d}{ext}",
                     self.cfg, self.state, self.step_idx, self.time_s)
+            if self.aux_every and self.step_idx % self.aux_every == 0:
+                # auxiliary pressure-level diagnostic stream (auxhist
+                # analog; io/diags.py)
+                from wrfchem_arc_interactions_tpu.io import diags
+                from wrfchem_arc_interactions_tpu.io import history as hio
+                ext = hio.default_extension()
+                diags.write_diags(
+                    f"{self.output_dir}/auxdiag_{self.step_idx:06d}{ext}",
+                    self.cfg, self.grid, self.state, self.time_s)
             if on_step is not None:
                 on_step(self)
 
