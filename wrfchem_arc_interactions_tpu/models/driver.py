@@ -186,6 +186,32 @@ class Simulation:
                     def fn(s, g, t_s):
                         return radiation_driver(s, g, cfg, t_s + off,
                                                 julian_day=jd)
+            elif key == "chem_stream":
+                # emission-file stream variant: the emissions dict is a
+                # TRACED argument so hourly wrfchemi-style snapshots swap
+                # without recompiling (io/auxinput.EmissionStream); kept as
+                # a separate executable so the constant-emissions programs
+                # stay byte-stable for the compile cache
+                from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
+                jd, off = self._julian, self._solar_off
+
+                def fn_es(s, g, t_s, emis):
+                    return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
+                                       time_s=t_s + off, emissions=emis,
+                                       julian_day=jd)
+
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    sp2d = P("my", "mx")
+                    emis0 = self.emissions.snaps[0]
+                    e_specs = {k: (sp2d if np.ndim(v) == 2 else P())
+                               for k, v in emis0.items()}
+                    fn_es = jax.shard_map(
+                        fn_es, mesh=self.mesh,
+                        in_specs=(self._s_specs, self._g_specs, P(), e_specs),
+                        out_specs=self._s_specs)
+                self._steppers[key] = jax.jit(fn_es)
+                return self._steppers[key]
             elif key == "chem":
                 from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
                 from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
@@ -223,7 +249,18 @@ class Simulation:
             t_start = t0 = time.perf_counter()
             t_now = jnp.float32(self.time_s)
             if do_chem:
-                self.state = self._stepper("chem")(self.state, self.grid, t_now)
+                from wrfchem_arc_interactions_tpu.io.auxinput import (
+                    EmissionStream,
+                )
+                if isinstance(self.emissions, EmissionStream):
+                    emis = {k: jnp.asarray(v)
+                            for k, v in
+                            self.emissions.at_time(self.time_s).items()}
+                    self.state = self._stepper("chem_stream")(
+                        self.state, self.grid, t_now, emis)
+                else:
+                    self.state = self._stepper("chem")(self.state, self.grid,
+                                                       t_now)
                 if phase_timing:
                     jax.block_until_ready(self.state["t"])
                     t1 = time.perf_counter()
