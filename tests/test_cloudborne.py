@@ -208,3 +208,54 @@ def test_cw_in_full_simulation():
         chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN, chemdt_s=30.0,
                         gaschem_onoff=False, cldchem_onoff=False))
     assert not any(k.startswith("chem_num_cw") for k in build_state(cfg_off))
+
+
+@pytest.mark.slow
+def test_cw_decomposition_invariance():
+    """The cloud-borne phase claims cell-locality => decomposition
+    invariance; prove it with the full driver (Morrison progn + cldchem +
+    wetscav) on a 2x4 mesh vs one device."""
+    from wrfchem_arc_interactions_tpu.config import (
+        ChemConfig, Config, DomainConfig, PhysicsConfig, TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.config.namelist import (
+        ChemOpt, MPScheme,
+    )
+    from wrfchem_arc_interactions_tpu.models import ideal
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+    from wrfchem_arc_interactions_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(
+        domain=DomainConfig(nx=16, ny=8, nz=12, dx=2000.0, dy=2000.0,
+                            ztop=14000.0, p_top=14000.0),
+        time_control=TimeControl(dt=10.0),
+        physics=PhysicsConfig(mp_physics=MPScheme.MORRISON2, progn=True),
+        chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN, chemdt_s=20.0,
+                        gaschem_onoff=False, cldchem_onoff=True,
+                        wetscav_onoff=True),
+    )
+    grid, state = ideal.make_case(cfg, "squall2d_x", bubble_amp=3.0)
+    for b in (1, 2):
+        state[f"chem_so4_a{b:02d}"] = jnp.full_like(state["t"], 2.0)
+        state[f"chem_num_a{b:02d}"] = jnp.full_like(state["t"], 2e9)
+    # note: so2/h2o2 are not in the aerosol-only package's registry, so the
+    # aqueous-production path is off here; the sharded property under test
+    # is the activation/resuspension/wet-removal bookkeeping
+
+    sim1 = Simulation(cfg, grid, dict(state))
+    sim1.advance(45)                      # 7.5 min: cloud forms, cw activates
+    sim8 = Simulation(cfg, grid, dict(state), mesh=make_mesh(2, 4))
+    sim8.advance(45)
+
+    cw1 = sum(jnp.asarray(sim1.state[f"chem_so4_cw{b:02d}"])
+              for b in (1, 2, 3, 4))
+    assert float(jnp.max(cw1)) > 0.0, "no cloud-borne phase formed"
+    for name in (["qc", "nc", "t"]
+                 + [f"chem_so4_cw{b:02d}" for b in (1, 2)]
+                 + [f"chem_num_cw{b:02d}" for b in (1, 2)]
+                 + [f"chem_so4_a{b:02d}" for b in (1, 2)]):
+        a = jnp.asarray(sim1.state[name])
+        b_ = jnp.asarray(sim8.state[name])
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        d = float(jnp.max(jnp.abs(a - b_))) / scale
+        assert d < 5e-3, f"{name}: rel diff {d}"
