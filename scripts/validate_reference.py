@@ -146,9 +146,11 @@ def main() -> dict:
         "golden_wrfout": validate_golden_wrfout(),
         "cbmz_rates": validate_cbmz_rates(),
     }
-    os.makedirs(os.path.join(_REPO, "artifacts"), exist_ok=True)
-    with open(os.path.join(_REPO, "artifacts",
-                           "REFERENCE_VALIDATION.json"), "w") as f:
+    out_path = os.environ.get(
+        "REFERENCE_VALIDATION_OUT",
+        os.path.join(_REPO, "artifacts", "REFERENCE_VALIDATION.json"))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: (v if isinstance(v, bool) or isinstance(v, str)
                           else v.get("status"))

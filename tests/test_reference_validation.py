@@ -14,12 +14,13 @@ SCRIPT = os.path.join(_REPO, "scripts", "validate_reference.py")
 
 
 def _run(ref_dir):
-    env = dict(os.environ, REFERENCE_DIR=str(ref_dir))
+    out = str(ref_dir) + "_report.json"
+    env = dict(os.environ, REFERENCE_DIR=str(ref_dir),
+               REFERENCE_VALIDATION_OUT=out)
     r = subprocess.run([sys.executable, SCRIPT], env=env, timeout=300,
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-2000:]
-    with open(os.path.join(_REPO, "artifacts",
-                           "REFERENCE_VALIDATION.json")) as f:
+    with open(out) as f:
         return json.load(f)
 
 
