@@ -114,3 +114,79 @@ def test_cell_chunked_integration_matches_unchunked():
     rel = float(jnp.max(jnp.abs(a - b) / (jnp.abs(b) + 1.0)))
     assert rel < 1e-4, rel
     assert a.shape == conc.shape
+
+
+def test_sparse_lu_structure():
+    """The symbolic LU (KPP's trick: precomputed fill-in on the static
+    CBM-Z Jacobian pattern, canonical: chem/KPP generated KppDecomp) must
+    be genuinely sparse: nnz ~15% of dense, and the factorization schedule
+    bounded."""
+    kin = gas._kinetics()
+    assert kin.ns == gas.NS
+    assert kin.nnz < 0.2 * gas.NS * gas.NS, kin.nnz
+    assert kin.n_fill_ops < 1200, kin.n_fill_ops
+
+
+def test_solver_accuracy_vs_f64():
+    """ADVICE r3: direct accuracy test of the f32 linear solvers against a
+    float64 dense solve on representative ROS2 iteration matrices
+    I - gamma*dt*J for day, night, and high-NOx regimes."""
+    import jax
+
+    kin = gas._kinetics()
+    gamma = 1.0 + 1.0 / np.sqrt(2.0)
+    dt = 15.0
+    rng = np.random.default_rng(7)
+
+    def conc_for(regime):
+        c = np.asarray(_polluted_start())[:, 0].copy()
+        if regime == "high_nox":
+            c[gas.IDX["no"]] = 80.0 * PPB
+            c[gas.IDX["no2"]] = 120.0 * PPB
+        # radicals at realistic magnitudes
+        c[gas.IDX["oh"]] = 2e6
+        c[gas.IDX["ho2"]] = 5e8
+        c[gas.IDX["ch3o2"]] = 2e8
+        c[gas.IDX["no3"]] = 1e8 if regime == "night" else 1e6
+        # jitter all species to avoid a single special-case matrix
+        return c * rng.uniform(0.5, 2.0, c.shape)
+
+    for regime, j in (("day", 0.8), ("night", 0.0), ("high_nox", 0.8)):
+        ncell = 16
+        conc = np.stack([conc_for(regime) for _ in range(ncell)], -1)
+        t = jnp.full((ncell,), 288.0)
+        m = jnp.full((ncell,), 2.46e19)
+        k = gas.rate_constants(t, m, jnp.full((ncell,), j))
+        # f64 truth
+        c64 = jnp.asarray(conc, jnp.float64)
+        k64 = jnp.asarray(np.asarray(k), jnp.float64)
+        f0, v0 = gas._prod_loss(c64, k64)
+        jac = np.asarray(gas._jacobian(c64, k64, v0), np.float64)
+        a = np.eye(gas.NS)[:, :, None] - gamma * dt * jac
+        b = np.asarray(f0, np.float64)
+        truth = np.stack([np.linalg.solve(a[:, :, i], b[:, i])
+                          for i in range(ncell)], -1)
+        scale = np.abs(truth).max(axis=0, keepdims=True)
+
+        # sparse-LU f32 solve of the same systems (reach into the step:
+        # factor+solve is exactly what step_ros2 does for stage 1)
+        c32 = jnp.asarray(conc, jnp.float32)
+        k32 = jnp.asarray(np.asarray(k), jnp.float32)
+        out32 = np.asarray(kin.step_ros2(c32, k32, dt), np.float64)
+        # reconstruct k1 from the full f64 ROS2 for a like-for-like step
+        # comparison instead: run the dense f32 GJ path too
+        gj32 = np.asarray(gas.step_ros2(c32, k32, dt), np.float64)
+        c1 = np.maximum(conc + dt * truth, 0.0)
+        f1, _ = gas._prod_loss(jnp.asarray(c1, jnp.float64), k64)
+        k2 = np.stack([np.linalg.solve(a[:, :, i],
+                                       np.asarray(f1, np.float64)[:, i]
+                                       - 2.0 * truth[:, i])
+                       for i in range(ncell)], -1)
+        step64 = np.maximum(conc + 1.5 * dt * truth + 0.5 * dt * k2, 0.0)
+        cscale = np.abs(step64).max(axis=0, keepdims=True)
+        rel_sparse = np.max(np.abs(out32 - step64) / (np.abs(step64)
+                                                      + 1e-6 * cscale))
+        rel_dense = np.max(np.abs(gj32 - step64) / (np.abs(step64)
+                                                    + 1e-6 * cscale))
+        assert rel_sparse < 2e-2, (regime, rel_sparse)
+        assert rel_dense < 2e-2, (regime, rel_dense)

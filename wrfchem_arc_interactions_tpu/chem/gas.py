@@ -307,9 +307,10 @@ def _gj_inverse(a_b: jax.Array) -> jax.Array:
     has unit-plus-positive diagonal (J's diagonal is the negative loss
     rate), made robust by row equilibration.  Replaces
     ``jnp.linalg.solve``: XLA:TPU lowers batched LU to a slow custom call
-    (measured 35 s per chem call at 5e5 cells); this fori_loop of fully
-    vectorised rank-1 updates runs on the VPU at memory speed.  Accuracy
-    vs the LAPACK path is covered by tests/test_gas_mech.py."""
+    (measured 35 s per chem call at 5e5 cells).  Kept as the dense
+    reference/AB path; production uses the sparse symbolic LU below.
+    Accuracy of both paths against an f64 dense solve is pinned by
+    tests/test_gas_mech.py::test_solver_accuracy_vs_f64."""
     ns = a_b.shape[-1]
     # row equilibration: scale rows to unit max |entry|
     scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(a_b), axis=-1, keepdims=True),
@@ -357,15 +358,324 @@ def step_ros2(conc: jax.Array, k: jax.Array, dt: float) -> jax.Array:
     return jnp.maximum(out, 0.0)
 
 
-# cells per dense-solve batch: the ROS2 step materialises several
-# (ns, ns, ncell) temporaries (Jacobian, iteration matrix, its inverse) —
-# at 55 species and 5e5 cells that is ~6 GB EACH and the config-4 chem
-# executable exceeded v5e HBM (27.5 G asked vs 15.75 G).  lax.map over
-# 32768-cell chunks bounds the live set to ~400 MB per temporary with no
-# numerical change (cells are independent).  Measured on the v5e:
-# 8192 vs 32768 cells/chunk is within noise (the sequential 55-step
-# Gauss-Jordan sweep dominates either way), so the smaller footprint wins.
-CELL_CHUNK = 8192
+# ---------------------------------------------------------------------------
+# Sparse symbolic-LU Rosenbrock solver (the KPP trick, TPU-native form).
+#
+# The CBM-Z Jacobian is ~90% structurally sparse with a STATIC pattern, so —
+# exactly as KPP's generated solvers do [canonical: chem/KPP generated
+# *_LinearAlgebra.f90 KppDecomp/KppSolve] — we compute a fill-reducing
+# ordering and a symbolic LU factorization ONCE at import (numpy), then emit
+# the factorization/solve as straight-line code: every nonzero is one
+# (ncell,)-vector and every elimination update one fused elementwise op.
+# Replaces the dense Gauss-Jordan sweep, which rewrote the whole
+# (B, ns, 2ns) augmented matrix ns times (~22 GB of HBM traffic per
+# 8192-cell chunk — the measured 10.8 s config-4 chem call was pure
+# bandwidth).  The sparse schedule touches ~nnz vectors a handful of times:
+# two orders of magnitude less traffic, and XLA fuses the elementwise
+# chains.  Cells stay the vector axis (VPU lanes); there is no gather,
+# scatter, or data-dependent control flow anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _min_degree_perm(pattern: set, ns: int) -> list:
+    """Greedy Markowitz/minimum-degree ordering of the (structural) matrix:
+    at each step eliminate the node minimizing (row_nnz-1)*(col_nnz-1),
+    tracking symbolic fill.  KPP achieves the same effect by hand-ordering
+    species so the densely-coupled radicals eliminate last."""
+    rows = [set() for _ in range(ns)]
+    cols = [set() for _ in range(ns)]
+    for (i, l) in pattern:
+        rows[i].add(l)
+        cols[l].add(i)
+    for q in range(ns):
+        rows[q].add(q)
+        cols[q].add(q)
+    remaining = set(range(ns))
+    perm = []
+    while remaining:
+        best = min(
+            remaining,
+            key=lambda q: ((len(rows[q] & remaining) - 1)
+                           * (len(cols[q] & remaining) - 1), q))
+        perm.append(best)
+        remaining.discard(best)
+        rset = (cols[best] & remaining)
+        cset = (rows[best] & remaining)
+        for i in rset:
+            new = cset - rows[i]
+            rows[i] |= new
+            for c in new:
+                cols[c].add(i)
+    return perm
+
+
+class _SparseKinetics:
+    """Precomputed sparse structure for one mechanism (order, net tables).
+
+    All symbolic work (fill-reducing ordering, LU fill pattern, the
+    per-pivot elimination schedule, triangular-solve level schedule, and
+    every index array) happens once in numpy.  The traced methods emit a
+    COMPACT program — the LU values live in one (nnz, ncell) array and each
+    pivot step is a vectorized gather → outer-product → scatter-add over
+    that pivot's fill block, each solve level one gather/segment-scatter —
+    so the whole ROS2 step is ~1k HLO ops (an earlier fully-unrolled
+    scalar form hit 9.3k eqns and choked XLA's compile)."""
+
+    def __init__(self, order: np.ndarray, net: np.ndarray):
+        ns, nr = order.shape
+        self.ns, self.nr = ns, nr
+        dummy = ns                            # index of the all-ones row
+        # reactant lists with integer powers
+        self.rx = [[(i, int(round(order[i, j])))
+                    for i in range(ns) if order[i, j] > 0]
+                   for j in range(nr)]
+        prod = [[(j, float(net[i, j])) for j in range(nr)
+                 if net[i, j] != 0.0] for i in range(ns)]
+
+        # --- reaction velocities: v = k * c1[r1] * c1[r2] ----------------
+        r1 = np.full(nr, dummy, np.int32)
+        r2 = np.full(nr, dummy, np.int32)
+        for j, rs in enumerate(self.rx):
+            flat = [m for (m, p) in rs for _ in range(p)]
+            assert len(flat) <= 2, "only uni/bimolecular reactions supported"
+            if len(flat) > 0:
+                r1[j] = flat[0]
+            if len(flat) > 1:
+                r2[j] = flat[1]
+        self.r1, self.r2 = r1, r2
+
+        # --- production/loss scatter: f[i] += coef * v[j] ----------------
+        f_tgt, f_rxn, f_coef = [], [], []
+        for i in range(ns):
+            for (j, nij) in prod[i]:
+                f_tgt.append(i)
+                f_rxn.append(j)
+                f_coef.append(nij)
+        self.f_tgt = np.asarray(f_tgt, np.int32)
+        self.f_rxn = np.asarray(f_rxn, np.int32)
+        self.f_coef = np.asarray(f_coef, np.float32)
+
+        # --- dv_j/dc_l pairs: dv = coef * k[j] * c1[other] ---------------
+        pairs = []                            # [(j, l)]
+        pair_id = {}
+        p_rxn, p_oth, p_coef = [], [], []
+        for j, rs in enumerate(self.rx):
+            for (l, p) in rs:
+                pair_id[(j, l)] = len(pairs)
+                pairs.append((j, l))
+                p_rxn.append(j)
+                if p == 2:                    # d(k c^2)/dc = 2 k c
+                    p_oth.append(l)
+                    p_coef.append(2.0)
+                else:
+                    others = [m for (m, q) in rs if m != l]
+                    p_oth.append(others[0] if others else dummy)
+                    p_coef.append(1.0)
+        self.p_rxn = np.asarray(p_rxn, np.int32)
+        self.p_oth = np.asarray(p_oth, np.int32)
+        self.p_coef = np.asarray(p_coef, np.float32)
+
+        # --- Jacobian entries: jacv[e] += nij * dv[pair] -----------------
+        jac = {}                              # (i, l) -> entry id
+        jc_tgt, jc_pair, jc_coef = [], [], []
+        for i in range(ns):
+            for (j, nij) in prod[i]:
+                for (l, _p) in self.rx[j]:
+                    e = jac.setdefault((i, l), len(jac))
+                    jc_tgt.append(e)
+                    jc_pair.append(pair_id[(j, l)])
+                    jc_coef.append(nij)
+        self.njac = len(jac)
+        self.jc_tgt = np.asarray(jc_tgt, np.int32)
+        self.jc_pair = np.asarray(jc_pair, np.int32)
+        self.jc_coef = np.asarray(jc_coef, np.float32)
+
+        # --- symbolic LU on the permuted pattern -------------------------
+        perm = _min_degree_perm(set(jac.keys()), ns)
+        self.perm = np.asarray(perm, np.int32)
+        iperm = np.zeros(ns, np.int32)
+        iperm[perm] = np.arange(ns, dtype=np.int32)
+        self.iperm = iperm
+        inv = {p: q for q, p in enumerate(perm)}
+        pat = {(inv[i], inv[l]) for (i, l) in jac}
+        pat |= {(q, q) for q in range(ns)}
+        rows = [set(l for (i, l) in pat if i == r) for r in range(ns)]
+        schedule = []                         # per pivot k: (below, right)
+        for k in range(ns):
+            below = sorted(i for i in range(k + 1, ns) if k in rows[i])
+            right = sorted(j for j in rows[k] if j > k)
+            for i in below:
+                rows[i] |= set(right)
+            schedule.append((below, right))
+        lu_pat = sorted((i, j) for i in range(ns) for j in rows[i])
+        pos = {e: q for q, e in enumerate(lu_pat)}
+        self.nnz = len(lu_pat)
+        self.n_fill_ops = sum(len(b) * len(r) for b, r in schedule)
+        # scatter positions for assembly
+        self.diag_pos = np.asarray([pos[(q, q)] for q in range(ns)], np.int32)
+        jac_pos = np.zeros(self.njac, np.int32)
+        for (i, l), e in jac.items():
+            jac_pos[e] = pos[(inv[i], inv[l])]
+        self.jac_pos = jac_pos
+
+        # --- padded per-pivot stage index blocks, scanned at trace time --
+        # Position `nnz` is a scratch row: every padded index reads/writes
+        # it, so pad garbage stays confined there (it starts 0, so the
+        # first padded products are exactly 0).  Uniform shapes let the
+        # whole elimination be ONE lax.scan body (~10 HLO ops) instead of
+        # an unrolled 858-op sweep — this is what keeps compile time and
+        # XLA:CPU memory sane (an unrolled form OOM'd LLVM codegen).
+        scratch = self.nnz
+        maxb = max((len(b) for b, _ in schedule if b), default=1)
+        maxr = max((len(r) for _, r in schedule if r), default=1)
+        self.maxb, self.maxr = maxb, maxr
+        pkk, ikm, kjm, updm = [], [], [], []
+        for k, (below, right) in enumerate(schedule):
+            pkk.append(pos[(k, k)])
+            ik = [pos[(i, k)] for i in below] + [scratch] * (maxb - len(below))
+            kj = [pos[(k, j)] for j in right] + [scratch] * (maxr - len(right))
+            upd = [[pos[(i, j)] for j in right] + [scratch] * (maxr - len(right))
+                   for i in below]
+            upd += [[scratch] * maxr] * (maxb - len(below))
+            ikm.append(ik)
+            kjm.append(kj)
+            updm.append([e for row in upd for e in row])
+        self.pkk = np.asarray(pkk, np.int32)
+        self.ikm = np.asarray(ikm, np.int32)
+        self.kjm = np.asarray(kjm, np.int32)
+        self.updm = np.asarray(updm, np.int32)
+
+        # --- triangular-solve level schedules (padded, scanned) ----------
+        lower = [sorted(l for l in range(q) if (q, l) in pos)
+                 for q in range(ns)]
+        upper = [sorted(l for l in range(q + 1, ns) if (q, l) in pos)
+                 for q in range(ns)]
+
+        def levels(adj, order_):
+            depth = [0] * ns
+            for q in order_:
+                depth[q] = 1 + max((depth[l] for l in adj[q]), default=-1)
+            out = {}
+            for q in range(ns):
+                if adj[q]:
+                    out.setdefault(depth[q], []).append(q)
+            lvls = [[(pos[(q, l)], l, q) for q in out[d] for l in adj[q]]
+                    for d in sorted(out)]
+            width = max(len(lv) for lv in lvls)
+            # pad: read vals scratch row, y/x scratch row ns, write row ns
+            ep = np.full((len(lvls), width), scratch, np.int32)
+            ec = np.full((len(lvls), width), ns, np.int32)
+            er = np.full((len(lvls), width), ns, np.int32)
+            for li, lv in enumerate(lvls):
+                for e, (p, c, r) in enumerate(lv):
+                    ep[li, e], ec[li, e], er[li, e] = p, c, r
+            return ep, ec, er
+
+        self.fw_ep, self.fw_ec, self.fw_er = levels(lower, range(ns))
+        self.bw_ep, self.bw_ec, self.bw_er = levels(upper,
+                                                    range(ns - 1, -1, -1))
+
+    # --- traced numerics (batched over trailing cell axis) ---------------
+    def _with_ones(self, cmat):
+        return jnp.concatenate(
+            [cmat, jnp.ones_like(cmat[:1])], axis=0)
+
+    def prod_rates(self, cmat, k):
+        """dc/dt (ns, ncell) and velocities v (nr, ncell)."""
+        c1 = self._with_ones(cmat)
+        v = k * c1[self.r1] * c1[self.r2]
+        f = jnp.zeros_like(cmat).at[self.f_tgt].add(
+            self.f_coef[:, None].astype(cmat.dtype) * v[self.f_rxn])
+        return f, v
+
+    def step_ros2(self, conc, k, dt):
+        """One 2-stage Rosenbrock step, (ns, ncell) -> (ns, ncell): sparse
+        LU factored once, two level-scheduled triangular solve pairs."""
+        ns = self.ns
+        gamma = 1.0 + 1.0 / np.sqrt(2.0)
+        dtype = conc.dtype
+        gdt = jnp.asarray(gamma * dt, dtype)
+        f0, _v0 = self.prod_rates(conc, k)
+
+        # dv_j/dc_l and Jacobian entry values
+        c1 = self._with_ones(conc)
+        dv = (self.p_coef[:, None].astype(dtype) * k[self.p_rxn]
+              * c1[self.p_oth])
+        jacv = jnp.zeros((self.njac,) + conc.shape[1:], dtype).at[
+            self.jc_tgt].add(self.jc_coef[:, None].astype(dtype)
+                             * dv[self.jc_pair])
+
+        # assemble A = I - gamma dt J on the LU pattern (permuted), plus a
+        # scratch row at index nnz that absorbs all padded reads/writes
+        cell_shape = conc.shape[1:]
+        vals = jnp.zeros((self.nnz + 1,) + cell_shape, dtype)
+        vals = vals.at[self.diag_pos].set(1.0)
+        vals = vals.at[self.jac_pos].add(-gdt * jacv)
+
+        # sparse LU, diagonal pivots: ONE scan body over the 55 pivots,
+        # each a vectorized gather -> outer product -> scatter-add over
+        # that pivot's (padded) fill block
+        def factor_stage(v, idxs):
+            pkk, ik, kj, upd = idxs
+            idk = 1.0 / jax.lax.dynamic_index_in_dim(v, pkk, keepdims=False)
+            lik = v[ik] * idk
+            v = v.at[ik].set(lik)
+            outer = (lik[:, None] * v[kj][None, :]).reshape(
+                (self.maxb * self.maxr,) + cell_shape)
+            v = v.at[upd].add(-outer)
+            return v, idk
+
+        vals, invd = jax.lax.scan(
+            factor_stage, vals,
+            (self.pkk, self.ikm, self.kjm, self.updm))
+        invd_p = jnp.concatenate(
+            [invd, jnp.zeros((1,) + cell_shape, dtype)])  # pad row reads 0
+
+        def solve(b):
+            y = jnp.concatenate(
+                [b[self.perm], jnp.zeros((1,) + cell_shape, dtype)])
+
+            def fw(yc, idxs):
+                ep, ec, er = idxs
+                return yc.at[er].add(-vals[ep] * yc[ec]), None
+
+            y, _ = jax.lax.scan(fw, y, (self.fw_ep, self.fw_ec, self.fw_er))
+
+            # backward: z_q = y_q - sum_{l>q} u_ql x_l with x_l = z_l/d_l;
+            # levels guarantee z_l is final before it is read.
+            def bw(xc, idxs):
+                ep, ec, er = idxs
+                return xc.at[er].add(-vals[ep] * xc[ec] * invd_p[ec]), None
+
+            x, _ = jax.lax.scan(bw, y, (self.bw_ep, self.bw_ec, self.bw_er))
+            return (x[:ns] * invd)[self.iperm]
+
+        k1 = solve(f0)
+        conc1 = jnp.maximum(conc + dt * k1, 0.0)
+        f1, _ = self.prod_rates(conc1, k)
+        k2 = solve(f1 - 2.0 * k1)
+        return jnp.maximum(conc + 1.5 * dt * k1 + 0.5 * dt * k2, 0.0)
+
+
+_KIN_CACHE: Dict[bytes, _SparseKinetics] = {}
+
+
+def _kinetics() -> _SparseKinetics:
+    """Sparse solver for the CURRENT module tables (tests may monkey-patch
+    _ORDER/_NET to a compiled user mechanism; key the cache on content)."""
+    key = (_ORDER.tobytes(), _NET.tobytes())
+    kin = _KIN_CACHE.get(key)
+    if kin is None:
+        kin = _SparseKinetics(np.asarray(_ORDER), np.asarray(_NET))
+        _KIN_CACHE[key] = kin
+    return kin
+
+
+# cells per solve batch.  The sparse-LU step keeps only ~nnz (= ~600 for
+# CBM-Z) live (ncell,) vectors, so chunks can be far larger than the dense
+# Gauss-Jordan era's 8192 (which bounded (ns, 2ns, ncell) augmented-matrix
+# temporaries); fewer, larger chunks cut the sequential lax.map trip count.
+CELL_CHUNK = 65536
 
 
 def integrate(conc: jax.Array, k: jax.Array, dt_total: float,
@@ -373,13 +683,15 @@ def integrate(conc: jax.Array, k: jax.Array, dt_total: float,
     """Integrate the mechanism over dt_total with fixed ROS2 substeps
     (fixed iteration count: the TPU-friendly replacement for adaptive KPP
     stepping; SURVEY.md §7.3-5 accuracy-vs-iterations tradeoff).  Large
-    cell batches are processed in HBM-bounded chunks."""
+    cell batches are processed in HBM-bounded chunks via lax.map; the
+    substep loop is a fori_loop so the sparse step's straight-line HLO is
+    traced/compiled once, not n_sub times."""
+    kin = _kinetics()
     dt = dt_total / n_sub
 
     def run(c, kk):
-        for _ in range(n_sub):
-            c = step_ros2(c, kk, dt)
-        return c
+        return jax.lax.fori_loop(
+            0, n_sub, lambda _, cc: kin.step_ros2(cc, kk, dt), c)
 
     ncell = conc.shape[-1]
     if ncell <= cell_chunk:
@@ -388,8 +700,9 @@ def integrate(conc: jax.Array, k: jax.Array, dt_total: float,
     pad = nchunk * cell_chunk - ncell
     conc_p = jnp.pad(conc, ((0, 0), (0, pad)), mode="edge")
     k_p = jnp.pad(k, ((0, 0), (0, pad)), mode="edge")
-    cs = jnp.moveaxis(conc_p.reshape(NS, nchunk, cell_chunk), 1, 0)
+    ns = conc.shape[0]
+    cs = jnp.moveaxis(conc_p.reshape(ns, nchunk, cell_chunk), 1, 0)
     ks = jnp.moveaxis(k_p.reshape(k.shape[0], nchunk, cell_chunk), 1, 0)
     out = jax.lax.map(lambda args: run(*args), (cs, ks))
-    out = jnp.moveaxis(out, 0, 1).reshape(NS, nchunk * cell_chunk)
+    out = jnp.moveaxis(out, 0, 1).reshape(ns, nchunk * cell_chunk)
     return out[:, :ncell]
