@@ -62,8 +62,8 @@ def scan_source_tree() -> dict:
 def _nc_variables(path):
     from wrfchem_arc_interactions_tpu.io.netcdf import read_netcdf
     try:
-        data = read_netcdf(path)
-        return {k: getattr(v, "shape", None) for k, v in data.items()}
+        fields, _attrs = read_netcdf(path)     # (vars, attrs) tuple
+        return {k: getattr(v, "shape", None) for k, v in fields.items()}
     except Exception as e:
         return {"_error": f"{type(e).__name__}: {e}"}
 

@@ -152,3 +152,70 @@ def test_snowpack_cycle_and_veg_classes():
         else:
             qfx_forest = float(u["qfx_eff"].mean())
     assert qfx_forest < qfx_grass, (qfx_forest, qfx_grass)
+
+
+def test_mynn_composes_with_noah():
+    """ADVICE r3: selecting MYNN must not route around the land surface —
+    the Noah soil columns must evolve exactly as they do under YSU (the
+    reference's surface_driver is independent of bl_pbl_physics)."""
+    def run(pbl):
+        cfg = Config(
+            domain=DomainConfig(nx=12, ny=4, nz=16, dx=2000.0, dy=2000.0,
+                                ztop=12000.0, p_top=20000.0),
+            time_control=TimeControl(dt=10.0),
+            dynamics=DynamicsConfig(kvdif=20.0),
+            physics=PhysicsConfig(ra_sw_physics=RAScheme.SIMPLE,
+                                  ra_lw_physics=RAScheme.SIMPLE, radt_s=60.0,
+                                  bl_pbl_physics=pbl,
+                                  sf_sfclay_physics=SFScheme.REVISED_MM5,
+                                  sf_surface_physics=SFSurface.NOAH),
+        )
+        grid, state = ideal.make_case(cfg, "quiescent")
+        t0 = np.asarray(state["tslb"]).copy()
+        sim = Simulation(cfg, grid, state, check_nans=True)
+        sim.run_seconds(1200.0)
+        return t0, sim.state
+
+    t0, out = run(PBLScheme.MYNN)
+    # soil temperature responded to the (daytime simple-rad) forcing
+    dT = np.abs(np.asarray(out["tslb"]) - t0)
+    assert float(dT[0].max()) > 0.01, "MYNN run left the soil frozen in time"
+    assert np.isfinite(np.asarray(out["smois"])).all()
+    # skin warmed the topsoil more than the deep layer (diurnal damping)
+    assert float(dT[0].mean()) > float(dT[3].mean())
+
+
+def test_snowmelt_exhaustion_conserves_energy():
+    """ADVICE r3: when the pack fully melts within a step, the latent heat
+    of fusion must come out of the skin overshoot (no double counting) —
+    the post-melt skin must sit BETWEEN freezing and the no-snow skin."""
+    shp = (2, 2)
+    strong_sun = jnp.full(shp, 900.0)
+    glw = jnp.full(shp, 320.0)
+    warm_air = jnp.full(shp, 278.0)
+    z = jnp.zeros(shp)
+    ra = jnp.full(shp, 50.0)
+    rho = jnp.full(shp, 1.2)
+
+    def skin_after(swe):
+        st = {
+            "tslb": jnp.full((4,) + shp, 272.0),
+            "smois": jnp.full((4,) + shp, 0.25),
+            "tsk": jnp.full(shp, 272.5),
+            "snow": jnp.full(shp, swe),
+        }
+        upd = lsm.noah_step(st, z, z, ra, rho, precip_rate=z,
+                            swdown=strong_sun, glw=glw, dt=600.0,
+                            t_air0=warm_air)
+        return float(np.asarray(upd["tsk"])[0, 0]), \
+            float(np.asarray(upd["snow"])[0, 0])
+
+    tsk_none, _ = skin_after(0.0)            # no snow: full overshoot
+    tsk_thin, snow_thin = skin_after(0.05)   # thin pack: melts out mid-step
+    tsk_thick, snow_thick = skin_after(50.0)  # deep pack: skin pinned at 0C
+    assert snow_thin == 0.0
+    assert snow_thick > 0.0
+    assert abs(tsk_thick - 273.15) < 1e-3
+    # thin pack: some energy went to melting, so the skin ends between
+    # freezing and the snow-free result (strictly less than no-snow)
+    assert 273.15 <= tsk_thin < tsk_none - 0.05, (tsk_thin, tsk_none)

@@ -45,3 +45,23 @@ def test_populated_mount_engages_scanners(tmp_path):
     cb = rep["cbmz_rates"]
     assert cb["status"] == "found"
     assert len(cb["sample_rate_constants"]) == 2
+
+
+def test_nc_inventory_reads_real_file(tmp_path):
+    """ADVICE r3: read_netcdf returns (vars, attrs); the watcher's .nc
+    inventory must unpack it — exercised on a real file produced by the
+    native writer, not just the empty-mount path."""
+    import numpy as np
+    from wrfchem_arc_interactions_tpu.io import netcdf as nc
+
+    if not nc.available():
+        import pytest
+        pytest.skip("native wrfio backend unavailable")
+    w = nc.NetCDFWriter()
+    w.put_var("kmajor", np.ones((16, 3, 5), np.float32))
+    w.put_var("press_ref", np.linspace(1e5, 1e3, 5).astype(np.float32))
+    w.write(str(tmp_path / "rrtmg_sw_data.nc"))
+    rep = _run(tmp_path)
+    ing = rep["rrtmg_data"]["ingest"]["rrtmg_sw_data.nc"]
+    assert "_error" not in ing, ing
+    assert tuple(ing["kmajor"]) == (16, 3, 5)

@@ -171,21 +171,20 @@ class Simulation:
                     return s
             elif key == "rad":
                 from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
-                    JULIAN_DAY, radiation_driver,
+                    radiation_driver,
                 )
                 jd, off = self._julian, self._solar_off
-                # with the default calendar (midnight, default julian) build
-                # the byte-identical legacy program so the persistent
-                # compile cache keeps hitting (the remote-compile service
-                # is slow/flaky; cache insurance matters more than an
-                # unused +0.0 in the graph)
-                if off == 0.0 and jd == JULIAN_DAY:
-                    def fn(s, g, t_s):
-                        return radiation_driver(s, g, cfg, t_s)
-                else:
-                    def fn(s, g, t_s):
-                        return radiation_driver(s, g, cfg, t_s + off,
-                                                julian_day=jd)
+                # julian day advances CONTINUOUSLY with traced model time
+                # (ADVICE r3: baking the construction-time value froze the
+                # solar declination at day 1 for multi-day runs).  jd0/off
+                # are baked floats, so the program stays byte-stable across
+                # runs of the same calendar config and never recompiles at
+                # day boundaries.
+
+                def fn(s, g, t_s):
+                    jd_t = jd + (t_s + off) / 86400.0
+                    return radiation_driver(s, g, cfg, t_s + off,
+                                            julian_day=jd_t)
             elif key == "chem_stream":
                 # emission-file stream variant: the emissions dict is a
                 # TRACED argument so hourly wrfchemi-style snapshots swap
@@ -196,9 +195,10 @@ class Simulation:
                 jd, off = self._julian, self._solar_off
 
                 def fn_es(s, g, t_s, emis):
+                    jd_t = jd + (t_s + off) / 86400.0
                     return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
                                        time_s=t_s + off, emissions=emis,
-                                       julian_day=jd)
+                                       julian_day=jd_t)
 
                 if self.mesh is not None:
                     from jax.sharding import PartitionSpec as P
@@ -214,21 +214,15 @@ class Simulation:
                 return self._steppers[key]
             elif key == "chem":
                 from wrfchem_arc_interactions_tpu.chem.driver import chem_driver
-                from wrfchem_arc_interactions_tpu.physics.radiation.driver import (
-                    JULIAN_DAY,
-                )
                 emissions = self.emissions
                 jd, off = self._julian, self._solar_off
-                if off == 0.0 and jd == JULIAN_DAY:
-                    def fn(s, g, t_s):
-                        return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
-                                           time_s=t_s, emissions=emissions)
-                else:
-                    def fn(s, g, t_s):
-                        return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
-                                           time_s=t_s + off,
-                                           emissions=emissions,
-                                           julian_day=jd)
+
+                def fn(s, g, t_s):
+                    jd_t = jd + (t_s + off) / 86400.0
+                    return chem_driver(s, g, cfg, hx, cfg.chem.chemdt_s,
+                                       time_s=t_s + off,
+                                       emissions=emissions,
+                                       julian_day=jd_t)
             else:
                 raise ValueError(key)
             self._steppers[key] = self._wrap(fn)

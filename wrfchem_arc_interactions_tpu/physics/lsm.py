@@ -156,10 +156,19 @@ def noah_step(state: Dict[str, jax.Array], hfx, qfx_pot, ra, rho0,
     # that would overshoot melts the pack, melt water joins infiltration
     overshoot = jnp.maximum(tsk_new - T_FRZ, 0.0)
     melt_energy = overshoot * denom               # W/m2 equivalent
-    melt = jnp.where(snow > 0.0,
+    had_snow = snow > 0.0
+    melt = jnp.where(had_snow,
                      jnp.minimum(melt_energy / XLF, snow / dt), 0.0)
     snow = jnp.maximum(snow - dt * melt, 0.0)
-    tsk_new = jnp.where((snow > 0.0) & (tsk_new > T_FRZ), T_FRZ, tsk_new)
+    # the energy consumed by melting is removed from the skin overshoot:
+    # while the pack survives this zeroes the overshoot (skin held at 0 C);
+    # if the pack is exhausted mid-step only the residual overshoot remains
+    # (ADVICE r3: the old form double-counted the latent heat of fusion by
+    # keeping the full overshoot when snow melted out within the step)
+    tsk_new = jnp.where(had_snow & (tsk_new > T_FRZ),
+                        T_FRZ + jnp.maximum(
+                            overshoot - melt * XLF / denom, 0.0),
+                        tsk_new)
     rain_liquid = rain_liquid + melt
 
     # ---- 2. soil heat diffusion (4-layer implicit, unrolled Thomas) -------

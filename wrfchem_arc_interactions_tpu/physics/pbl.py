@@ -103,15 +103,9 @@ def surface_and_pbl(state: State, grid: Grid, cfg: Config,
     dz_w = z_c[1:] - z_c[:-1]
     rho_w = 0.5 * (rho[1:] + rho[:-1])
 
-    from wrfchem_arc_interactions_tpu.config.namelist import SFSurface
-    noah = cfg.physics.sf_surface_physics == SFSurface.NOAH and "smois" in state
+    beta, noah = soil_moisture_beta(state, cfg)
 
     qv = state.get("qv", jnp.zeros_like(t_air))
-    if noah:
-        from wrfchem_arc_interactions_tpu.physics import lsm
-        beta = lsm.soil_beta(state["smois"][0])
-    else:
-        beta = 0.3
     hfx, qfx, ust, cd, ch_wind = surface_fluxes(
         t_air[0], qv[0], diag.p_full[0], rho[0],
         state["u"][0], state["v"][0], z_agl[0], state["tsk"],
@@ -155,6 +149,31 @@ def surface_and_pbl(state: State, grid: Grid, cfg: Config,
     out["qfx"] = qfx
     out["ust"] = ust
     out["pblh"] = h_pbl
+    out = apply_surface_update(state, out, hfx, qfx, ch_wind, beta, noah,
+                               rho[0], t_air[0], dt)
+    return out, tend
+
+
+def soil_moisture_beta(state: State, cfg: Config):
+    """(beta_moist, noah_active): Noah soil-moisture availability when the
+    Noah LSM is configured and soil state exists, else the slab default."""
+    from wrfchem_arc_interactions_tpu.config.namelist import SFSurface
+    noah = (cfg.physics.sf_surface_physics == SFSurface.NOAH
+            and "smois" in state)
+    if noah:
+        from wrfchem_arc_interactions_tpu.physics import lsm
+        return lsm.soil_beta(state["smois"][0]), True
+    return 0.3, False
+
+
+def apply_surface_update(state: State, out: dict, hfx, qfx, ch_wind, beta,
+                         noah: bool, rho0, t_air0, dt: float) -> dict:
+    """Shared surface/LSM update — Noah soil columns or the slab energy
+    balance.  Factored out of surface_and_pbl so EVERY PBL scheme (YSU and
+    MYNN alike) composes with the configured land surface, exactly as the
+    reference's surface_driver is independent of bl_pbl_physics
+    [canonical: phys/module_surface_driver.F]; ADVICE r3 found MYNN
+    previously skipped the LSM entirely."""
     if noah and "swdown" in state:
         # Noah-class LSM: soil T/moisture columns + canopy-limited
         # evaporation (physics/lsm.py)
@@ -166,9 +185,9 @@ def surface_and_pbl(state: State, grid: Grid, cfg: Config,
             rain = rain + state["rainc"]
         prev = state.get("rain_prev", rain)
         precip_rate = jnp.maximum(rain - prev, 0.0) / dt
-        upd = lsm.noah_step(state, hfx, qfx_pot, ra, rho[0], precip_rate,
+        upd = lsm.noah_step(state, hfx, qfx_pot, ra, rho0, precip_rate,
                             state["swdown"], state["glw"], dt,
-                            t_air0=t_air[0])
+                            t_air0=t_air0)
         out["tsk"] = upd["tsk"]
         out["tslb"] = upd["tslb"]
         out["smois"] = upd["smois"]
@@ -182,4 +201,4 @@ def surface_and_pbl(state: State, grid: Grid, cfg: Config,
         net = ((1.0 - 0.2) * state["swdown"] + EMISS * state["glw"]
                - EMISS * c.STBOLT * state["tsk"] ** 4 - hfx - c.XLV * qfx)
         out["tsk"] = state["tsk"] + dt * net / SLAB_DEPTH_HEAT
-    return out, tend
+    return out

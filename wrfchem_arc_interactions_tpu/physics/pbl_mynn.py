@@ -80,10 +80,13 @@ def mynn_column(state: State, grid: Grid, cfg: Config,
     dz_w = z_c[1:] - z_c[:-1]
     rho_w = 0.5 * (rho[1:] + rho[:-1])
 
+    from wrfchem_arc_interactions_tpu.physics.pbl import soil_moisture_beta
+    beta, noah = soil_moisture_beta(state, cfg)
     qv = state.get("qv", jnp.zeros_like(t_air))
     hfx, qfx, ust, cd, ch_wind = surface_fluxes(
         t_air[0], qv[0], diag.p_full[0], rho[0],
-        state["u"][0], state["v"][0], z_agl[0], state["tsk"])
+        state["u"][0], state["v"][0], z_agl[0], state["tsk"],
+        beta_moist=beta)
 
     thv = diag.theta * (1.0 + c.EP_1 * qv)
     h_pbl, _ = pbl_height(thv, z_agl, ust, hfx, rho[0])
@@ -156,11 +159,7 @@ def mynn_column(state: State, grid: Grid, cfg: Config,
     out["qfx"] = qfx
     out["ust"] = ust
     out["pblh"] = h_pbl
-    from wrfchem_arc_interactions_tpu.physics.pbl import (
-        EMISS, SLAB_DEPTH_HEAT,
-    )
-    if "swdown" in state:
-        net = ((1.0 - 0.2) * state["swdown"] + EMISS * state["glw"]
-               - EMISS * c.STBOLT * state["tsk"] ** 4 - hfx - c.XLV * qfx)
-        out["tsk"] = state["tsk"] + dt * net / SLAB_DEPTH_HEAT
+    from wrfchem_arc_interactions_tpu.physics.pbl import apply_surface_update
+    out = apply_surface_update(state, out, hfx, qfx, ch_wind, beta, noah,
+                               rho[0], t_air[0], dt)
     return out, tend
