@@ -208,3 +208,45 @@ def test_vertical_upwind_direction_and_dissipation():
         q = q + (-(fz[1:] - fz[:-1]) * rdnw)
     amp = float(np.abs(np.asarray(q)[8:-8]).max())
     assert amp < 1.0, f"3rd-order vertical advection amplifies 2dz noise: {amp}"
+
+
+def test_rk3_translation_convergence_order():
+    """SURVEY §4.5 / VERDICT r3 item 7: advect an analytic profile one full
+    period through the Wicker-Skamarock RK3 + 5th-order flux pipeline and
+    measure the SOLUTION convergence order (not just the operator's).
+    dt ~ dx^(5/3) keeps the O(dt^3) time error at the O(dx^5) level so the
+    spatial order is visible; required slope >= 4.5."""
+    import jax
+
+    def solution_error(nx):
+        cfg, grid, hx = setup(nx)
+        nz, ny = grid.nz, grid.ny
+        x = (np.arange(nx) + 0.5) / nx
+        q0 = np.broadcast_to(np.sin(2 * np.pi * x) + 0.25
+                             * np.sin(4 * np.pi * x), (nz, ny, nx))
+        ru = jnp.asarray(np.ones((nz, ny, nx)))
+        rv = jnp.asarray(np.zeros((nz, ny, nx)))
+        ww = jnp.asarray(np.zeros((nz + 1, ny, nx)))
+        ru_pad, rv_pad = hx.pad(ru), hx.pad(rv)
+
+        def rhs(q):
+            return adv.advect_scalar(hx.pad(q), ru_pad, rv_pad, ww,
+                                     grid, 5, 3)
+
+        dt = 0.4 * (1.0 / nx) ** (5.0 / 3.0)
+        n = int(np.ceil(1.0 / dt))
+        dt = 1.0 / n
+
+        def step(q, _):
+            q1 = q + (dt / 3.0) * rhs(q)
+            q2 = q + (dt / 2.0) * rhs(q1)
+            return q + dt * rhs(q2), None
+
+        q, _ = jax.lax.scan(step, jnp.asarray(q0), None, length=n)
+        return np.max(np.abs(np.asarray(q)[0, 0] - q0[0, 0]))
+
+    with jax.enable_x64(True):
+        e1 = solution_error(24)
+        e2 = solution_error(48)
+    rate = np.log2(e1 / e2)
+    assert rate > 4.5, f"translation convergence rate {rate:.2f}"

