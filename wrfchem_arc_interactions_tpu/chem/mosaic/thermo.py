@@ -74,12 +74,27 @@ def uptake_coeffs(chem: Dict[str, jax.Array], rho_air, nbin: int,
     return ks                                                   # list of (nz,ny,nx)
 
 
-# deliquescence RH of the pure salts (MESA's phase-state inputs; canonical
-# module_mosaic_therm.F MDRH tables)
+# legacy per-species DRH (still used by the generic fallback paths)
 DRH = {"so4": 0.80, "nh4": 0.80,    # (NH4)2SO4
        "no3": 0.62,                 # NH4NO3
        "cl": 0.75, "na": 0.75,      # NaCl
        "oin": 0.95, "bc": 1.01, "oc": 0.85}
+
+# --- MESA electrolyte system (canonical: module_mosaic_therm.F's
+# electrolyte speciation + MDRH tables; VERDICT r3 item 10).  Ions pair
+# into electrolytes by the MESA precedence ladder; each electrolyte has a
+# laboratory deliquescence RH at 298 K.  Dust calcium/carbonate are carried
+# as fixed fractions of the OIN (other-inorganics) proxy species — the
+# standard WRF-Chem treatment where mineral CaCO3 rides inside OIN.
+ELECTROLYTE_DRH = {
+    "nh42so4": 0.80, "nh4hso4": 0.40, "h2so4": 0.05, "nh4no3": 0.62,
+    "nh4cl": 0.77, "na2so4": 0.84, "nahso4": 0.52, "nano3": 0.74,
+    "nacl": 0.75, "caso4": 1.0, "cano32": 0.49, "caco3": 1.0,
+    "oc": 0.85,
+}
+# moles of Ca / CO3 per gram of OIN (dust carbonate content ~5% by mass
+# as CaCO3, MW 100)
+OIN_CACO3_MASS_FRAC = 0.05
 
 
 # crystallization (efflorescence) RH: the lower hysteresis branch sits far
@@ -87,14 +102,98 @@ DRH = {"so4": 0.80, "nh4": 0.80,    # (NH4)2SO4
 CRH_FRACTION = 0.45          # CRH ~ 0.45 * DRH of the mix
 
 
+def electrolyte_ladder(ions: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """MESA electrolyte speciation: pair cation/anion mole concentrations
+    into electrolyte moles by the precedence ladder (canonical MESA
+    ordering: CaSO4 -> CaCO3 -> Na2SO4 -> ammonium sulfates -> Ca(NO3)2 ->
+    NaNO3 -> NaCl -> NH4NO3 -> NH4Cl).  Ion conservation is exact by
+    construction (each pairing consumes min(available) on both sides) —
+    pinned by tests/test_mesa_electrolytes.py."""
+    z = {k: jnp.asarray(v) for k, v in ions.items()}
+    e = {}
+
+    def take(name, cat, an, n_cat=1.0, n_an=1.0):
+        amt = jnp.minimum(z[cat] / n_cat, z[an] / n_an)
+        e[name] = amt
+        z[cat] = z[cat] - n_cat * amt
+        z[an] = z[an] - n_an * amt
+
+    take("caso4", "ca", "so4")
+    take("caco3", "ca", "co3")
+    take("na2so4", "na", "so4", n_cat=2.0)
+    take("nh42so4", "nh4", "so4", n_cat=2.0)
+    take("nh4hso4", "nh4", "so4")          # sulfate-rich residual
+    e["h2so4"] = z["so4"]                  # fully acidic leftover
+    z["so4"] = jnp.zeros_like(z["so4"])
+    take("cano32", "ca", "no3", n_an=2.0)
+    take("nano3", "na", "no3")
+    take("nacl", "na", "cl")
+    take("nh4no3", "nh4", "no3")
+    take("nh4cl", "nh4", "cl")
+    # unpaired residuals (excess base as NaOH-like, excess acid as
+    # HNO3/HCl-like, free NH3-like ammonium, leftover dust carbonate) —
+    # kept explicitly so ion conservation is exact
+    e["_residual_na"] = z["na"]
+    e["_residual_ca"] = z["ca"]
+    e["_residual_nh4"] = z["nh4"]
+    e["_residual_no3"] = z["no3"]
+    e["_residual_cl"] = z["cl"]
+    e["_residual_co3"] = z["co3"]
+    return e
+
+
+def bin_ions(chem: Dict[str, jax.Array], b: int) -> Dict[str, jax.Array]:
+    """Ion mole concentrations [umol/kg-air] of bin b, with dust Ca/CO3
+    derived from the OIN proxy."""
+    g = lambda s: chem[f"chem_{s}_a{b:02d}"]
+    caco3_mol = g("oin") * OIN_CACO3_MASS_FRAC / 100.09
+    return {
+        "so4": g("so4") / mbins.MW["so4"],
+        "no3": g("no3") / mbins.MW["no3"],
+        "nh4": g("nh4") / mbins.MW["nh4"],
+        "na": g("na") / mbins.MW["na"],
+        "cl": g("cl") / mbins.MW["cl"],
+        "ca": caco3_mol,
+        "co3": caco3_mol,
+    }
+
+
+def mutual_drh(chem: Dict[str, jax.Array], b: int):
+    """Mixture deliquescence RH of bin b from the electrolyte speciation.
+
+    The mole-fraction-weighted mean over soluble electrolytes, reduced
+    toward the eutonic point by a mixing-entropy factor
+    (1 - 0.3*(1 - sum x_i^2)): pure bins keep the laboratory DRH, mixed
+    bins deliquesce below every member's DRH — the shape of the
+    reference's MDRH lookup tables without their 60-entry enumeration."""
+    e = electrolyte_ladder(bin_ions(chem, b))
+    oc_mol = chem[f"chem_oc_a{b:02d}"] / mbins.MW["oc"]
+    mol_tot = oc_mol
+    drh_mol = ELECTROLYTE_DRH["oc"] * oc_mol
+    x2 = None
+    soluble = [(k, v) for k, v in e.items()
+               if not k.startswith("_") and ELECTROLYTE_DRH.get(k, 1.0) < 1.0]
+    for k, v in soluble:
+        mol_tot = mol_tot + v
+        drh_mol = drh_mol + ELECTROLYTE_DRH[k] * v
+    mol_safe = jnp.maximum(mol_tot, 1e-30)
+    for k, v in soluble + [("oc", oc_mol)]:
+        xi2 = (v / mol_safe) ** 2
+        x2 = xi2 if x2 is None else x2 + xi2
+    mean_drh = drh_mol / mol_safe
+    eutonic = 1.0 - 0.3 * (1.0 - x2)
+    drh = mean_drh * eutonic
+    # a bin with no soluble material never deliquesces
+    return jnp.where(mol_tot > 1e-30, drh, 1.01)
+
+
 def phase_state(chem: Dict[str, jax.Array], rh, nbin: int):
     """MESA-style solid/liquid phase flag per bin WITH the deliquescence/
     efflorescence hysteresis branch (canonical: module_mosaic_therm.F MESA
     jhyst_leg logic).
 
-    - RH above the mole-weighted mutual DRH of the inorganic mix: liquid
-      (the mutual DRH of a mixture sits below the pure-salt values —
-      captured by the mole weighting).
+    - RH above the mutual DRH of the bin's ELECTROLYTE mix (speciated by
+      the MESA ladder, `mutual_drh`): liquid.
     - RH below the crystallization RH (CRH ~ 0.45 DRH): solid.
     - In between, the phase is HISTORY-dependent: a particle that was wet
       stays wet (the metastable upper branch).  The history carrier is the
@@ -105,17 +204,11 @@ def phase_state(chem: Dict[str, jax.Array], rh, nbin: int):
     Returns a list of (nz, ny, nx) liquid fractions in {0, 1}."""
     flags = []
     for b in range(1, nbin + 1):
-        mol = None
-        drh_mol = None
         dry_mass = None
         for s in mbins.AER_SPECIES:
-            m = chem[f"chem_{s}_a{b:02d}"] / mbins.MW[s]
-            mol = m if mol is None else mol + m
-            dm = DRH[s] * m
-            drh_mol = dm if drh_mol is None else drh_mol + dm
             dry_mass = (chem[f"chem_{s}_a{b:02d}"] if dry_mass is None
                         else dry_mass + chem[f"chem_{s}_a{b:02d}"])
-        drh_mix = drh_mol / jnp.maximum(mol, 1e-30)
+        drh_mix = mutual_drh(chem, b)
         crh_mix = CRH_FRACTION * drh_mix
         was_wet = chem.get(f"chem_water_a{b:02d}")
         if was_wet is None:

@@ -233,6 +233,21 @@ class ChemConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class FDDAConfig:
+    """Analysis (grid) nudging — the &fdda namelist group (canonical:
+    phys/module_fdda_psufddagd.F; grid_fdda=1).  Interior relaxation of
+    u, v, theta, qv toward a time-interpolated analysis with the standard
+    WRF coefficients [1/s]; `k_start` masks nudging below that level (the
+    if_no_pbl_nudging analog, as a sharp level cutoff)."""
+
+    grid_fdda: bool = False
+    guv: float = 3.0e-4               # wind nudging coefficient [1/s]
+    gt: float = 3.0e-4                # potential-temperature coefficient
+    gq: float = 3.0e-5                # moisture coefficient
+    k_start: int = 0                  # lowest nudged level (0 = all levels)
+
+
+@dataclasses.dataclass(frozen=True)
 class ParallelConfig:
     """Device-mesh layout (the RSL_LITE `nproc_x`/`nproc_y` analog)."""
 
@@ -248,6 +263,7 @@ class Config:
     physics: PhysicsConfig = PhysicsConfig()
     dynamics: DynamicsConfig = DynamicsConfig()
     chem: ChemConfig = ChemConfig()
+    fdda: FDDAConfig = FDDAConfig()
     parallel: ParallelConfig = ParallelConfig()
 
     def replace(self, **kw) -> "Config":
@@ -286,5 +302,10 @@ class Config:
         if mp == MPScheme.MORRISON2:
             # mass: vapor, cloud, rain, ice, snow, graupel; number: cloud (if
             # progn), rain, ice, snow, graupel — Morrison 2-moment set.
-            return ("qv", "qc", "qr", "qi", "qs", "qg", "nc", "nr", "ni", "ns", "ng")
+            # qgv: prognostic graupel (rime) VOLUME mixing ratio [m3/kg],
+            # giving a variable bulk rime density rho_g = qg/qgv (canonical:
+            # the rime-density/wet-growth physics of
+            # module_mp_morr_two_moment.F, in the P3-style bulk-volume form).
+            return ("qv", "qc", "qr", "qi", "qs", "qg", "nc", "nr", "ni",
+                    "ns", "ng", "qgv")
         raise ValueError(mp)

@@ -49,12 +49,15 @@ class Simulation:
     def __init__(self, cfg: Config, grid: Grid, state: State,
                  mesh=None, check_nans: bool = False,
                  output_dir: Optional[str] = None,
-                 boundary=None, emissions=None):
+                 boundary=None, emissions=None, fdda=None):
         self.cfg = cfg
         self.grid = grid
         self.mesh = mesh
         self.boundary = boundary
         self.emissions = emissions    # {species|elev_species: flux, heat_mw}
+        # analysis-nudging target: a LateralBoundary two-snapshot window
+        # (models/fdda.py); active when cfg.fdda.grid_fdda is set
+        self.fdda = fdda if cfg.fdda.grid_fdda else None
         self.spec_bc = None
         from wrfchem_arc_interactions_tpu.config.namelist import BCKind
         if (cfg.dynamics.bc_x == BCKind.SPECIFIED
@@ -128,6 +131,16 @@ class Simulation:
         if key not in self._steppers:
             cfg, hx, dt = self.cfg, self.hx, self.dt
             if key == "main":
+                fdda = self.fdda
+
+                def add_fdda(s, tend, t_s):
+                    if fdda is None:
+                        return tend
+                    from wrfchem_arc_interactions_tpu.models.fdda import (
+                        apply_nudging,
+                    )
+                    return apply_nudging(tend, s, fdda, t_s, cfg)
+
                 spec_bc = self.spec_bc
                 if spec_bc is not None:
                     # boundary data + zone masks are traced ARGUMENTS (not
@@ -138,6 +151,7 @@ class Simulation:
 
                     def fn_bdy(s, g, t_s, bdy, spec_mask, relax_w):
                         s, tend = pre_dynamics(s, g, cfg, hx, dt, False, t_s)
+                        tend = add_fdda(s, tend, t_s)
                         s = dyn_step(s, g, cfg, hx, dt, tend)
                         s = post_dynamics(s, g, cfg, hx, dt, False)
                         sb = _dc.replace(spec_bc, spec_mask=spec_mask,
@@ -166,6 +180,7 @@ class Simulation:
 
                 def fn(s, g, t_s):
                     s, tend = pre_dynamics(s, g, cfg, hx, dt, False, t_s)
+                    tend = add_fdda(s, tend, t_s)
                     s = dyn_step(s, g, cfg, hx, dt, tend)
                     s = post_dynamics(s, g, cfg, hx, dt, False)
                     return s

@@ -63,29 +63,62 @@ def _lambda(q, n, rho_x):
     return jnp.clip(lam, 1e3, 1e7)
 
 
-def _fallspeeds(q, n, kind, rho):
+def _fallspeeds(q, n, kind, rho, rho_x=None):
+    """Mean-mass/number fall speeds; `rho_x` overrides the fixed particle
+    density (the variable-rime-density graupel path: denser graupel is
+    smaller at equal mass AND faster per Heymsfield-type a ~ sqrt(rho))."""
     a, b = FALL[kind]
-    lam = _lambda(q, n, RHO_X[kind])
+    if rho_x is None:
+        rho_x = RHO_X[kind]
+    else:
+        a = a * jnp.sqrt(rho_x / RHO_X[kind])
+    lam = _lambda(q, n, rho_x)
     rho_fac = (1.2 / jnp.maximum(rho, 0.1)) ** 0.54
     v_q = a * _gamma(4.0 + b) / GAMMA4 / lam ** b * rho_fac
     v_n = a * _gamma(1.0 + b) / lam ** b * rho_fac
-    cap = 20.0 if kind in ("r", "g") else 3.0
+    cap = 25.0 if kind in ("r", "g") else 3.0
     return jnp.minimum(v_q, cap), jnp.minimum(v_n, cap)
 
 
-def _sediment_pair(q, n, kind, rho, dz, dt, nfall):
+def _sediment_pair(q, n, kind, rho, dz, dt, nfall, extra=None, rho_x=None):
+    """Sediment a (mass, number) pair; `extra` (e.g. graupel volume) falls
+    with the mass-weighted speed; `rho_x` feeds the variable-density
+    graupel fall speed (recomputed each sub-step from q/extra)."""
     dtf = dt / nfall
     rain_acc = jnp.zeros_like(q[0])
     for _ in range(nfall):
-        v_q, v_n = _fallspeeds(q, n, kind, rho)
+        rx = rho_x
+        if extra is not None and rho_x is not None:
+            rx = _rho_g(q, extra)
+        v_q, v_n = _fallspeeds(q, n, kind, rho, rho_x=rx)
         fq = rho * v_q * q
         fn = rho * v_n * n
         inq = jnp.concatenate([fq[1:], jnp.zeros_like(fq[:1])], axis=0)
         inn = jnp.concatenate([fn[1:], jnp.zeros_like(fn[:1])], axis=0)
         q = jnp.maximum(q + dtf * (inq - fq) / (rho * dz), 0.0)
         n = jnp.maximum(n + dtf * (inn - fn) / (rho * dz), 0.0)
+        if extra is not None:
+            fe = rho * v_q * extra
+            ine = jnp.concatenate([fe[1:], jnp.zeros_like(fe[:1])], axis=0)
+            extra = jnp.maximum(extra + dtf * (ine - fe) / (rho * dz), 0.0)
         rain_acc = rain_acc + dtf * fq[0]
+    if extra is not None:
+        return q, n, rain_acc, extra
     return q, n, rain_acc
+
+
+def _rho_g(qg, qgv):
+    """Bulk graupel density from the prognostic rime volume [kg/m3]."""
+    return jnp.clip(qg / jnp.maximum(qgv, 1e-18), 50.0, 900.0)
+
+
+def _macklin_rime_density(r_drop_um, v_imp, t_c):
+    """Macklin (1962) rime density [kg/m3]: rho = 110 (r V / |T_s|)^0.76,
+    r the median droplet radius [um], V the impact speed [m/s], T_s the
+    surface temperature [C] (canonical: the rime-density parameterisation
+    of module_mp_morr_two_moment.F's graupel/hail treatment)."""
+    x = r_drop_um * v_imp / jnp.maximum(-t_c, 0.5)
+    return jnp.clip(110.0 * x ** 0.76, 100.0, 900.0)
 
 
 # fixed sub-step count for the predicted-supersaturation integration (the
@@ -265,8 +298,30 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
                      * ns_ * rho / lam_s ** 3.41 * qc, 0.0)
     d_rime = jnp.minimum(rime * dt, qc)
     heavy = d_rime > 2.0 * dqs + 1e-10
+    d_rime_g = jnp.where(heavy, d_rime, 0.0)
+    qgv = state.get("qgv")
+    t_c = t_air - T0C
+    if qgv is not None:
+        # -- variable bulk rime density (canonical: rime density / wet
+        # growth of module_mp_morr_two_moment.F; P3-style bulk volume) --
+        # Macklin density of the freshly accreted rime from the droplet
+        # size, the collector fall speed, and the supercooling
+        r_um = 0.5e6 * (6.0 * jnp.maximum(qc, 1e-12)
+                        / (np.pi * 997.0 * jnp.maximum(nc, 1e4))) ** (1.0 / 3.0)
+        v_s = (11.72 * _gamma(4.41) / GAMMA4 / lam_s ** 0.41
+               * (1.2 / jnp.maximum(rho, 0.1)) ** 0.54)
+        rho_rime = _macklin_rime_density(jnp.clip(r_um, 2.0, 30.0),
+                                         jnp.maximum(v_s, 0.3), t_c)
+        # wet growth (Musil): near 0 C the latent heat of the collected
+        # water cannot all be shed, the unfrozen excess soaks the rime ->
+        # high-density (water-filled) growth.  Freezing capacity ~ the
+        # ventilated heat sink, linear in supercooling.
+        wg_cap = 6.0e-4 * jnp.maximum(-t_c, 0.0) * dt       # kg/kg per step
+        wet = d_rime_g > wg_cap
+        rho_dep = jnp.where(wet, 900.0, rho_rime)
+        qgv = qgv + d_rime_g / rho_dep
     qs = qs + jnp.where(~heavy, d_rime, 0.0)
-    qg = qg + jnp.where(heavy, d_rime, 0.0)
+    qg = qg + d_rime_g
     ng = ng + jnp.where(heavy, d_rime / jnp.maximum(
         np.pi / 6.0 * RHO_X["g"] * (500e-6) ** 3, 1e-12), 0.0)
     qc = qc - d_rime
@@ -275,7 +330,6 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
     # module_mp_morr_two_moment.F): secondary ice production of
     # 3.5e8 splinters per kg rimed, active only in the -8..-3 C window
     # with a triangular efficiency peaking at -5 C
-    t_c = t_air - T0C
     hm_eff = jnp.clip(jnp.where(t_c > -5.0, (t_c + 3.0) / (-2.0),
                                 (t_c + 8.0) / 3.0), 0.0, 1.0)
     n_spl = 3.5e8 * d_rime * hm_eff                 # [#/kg air]
@@ -295,6 +349,8 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
     dn_frz = nr * frz_frac
     qg = qg + dq_frz
     ng = ng + dn_frz
+    if qgv is not None:
+        qgv = qgv + dq_frz / 900.0      # frozen drops: solid-ice density
     qr = qr - dq_frz
     nr = jnp.maximum(nr - dn_frz, 0.0)
     theta = theta + (c.XLF / (c.CP * pii)) * dq_frz
@@ -312,6 +368,8 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
     ns_ = ns_ * (1 - melt_fac)
     ng = ng * (1 - melt_fac)
     ni = ni * (1 - melt_fac)
+    if qgv is not None:
+        qgv = qgv * (1 - melt_fac)
     theta = theta - (c.XLF / (c.CP * pii)) * (dqm_s + dqm_g + dqm_i)
 
     # --- 6. sedimentation ----------------------------------------------
@@ -321,7 +379,11 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
     rain_sfc = rain_sfc + acc
     qs, ns_, acc = _sediment_pair(qs, ns_, "s", rho, dz, dt, nfall)
     rain_sfc = rain_sfc + acc
-    qg, ng, acc = _sediment_pair(qg, ng, "g", rho, dz, dt, nfall)
+    if qgv is not None:
+        qg, ng, acc, qgv = _sediment_pair(qg, ng, "g", rho, dz, dt, nfall,
+                                          extra=qgv, rho_x=RHO_X["g"])
+    else:
+        qg, ng, acc = _sediment_pair(qg, ng, "g", rho, dz, dt, nfall)
     rain_sfc = rain_sfc + acc
     qi, ni, acc = _sediment_pair(qi, ni, "i", rho, dz, dt, max(1, nfall // 2))
     rain_sfc = rain_sfc + acc
@@ -333,5 +395,8 @@ def morrison(state: State, diag: Diag, grid: Grid, cfg, dt: float,
                 "qi": floor(qi), "qs": floor(qs), "qg": floor(qg),
                 "nc": floor(nc), "nr": floor(nr), "ni": floor(ni),
                 "ns": floor(ns_), "ng": floor(ng)})
+    if qgv is not None:
+        # (bulk rime density diagnosable downstream as _rho_g(qg, qgv))
+        out["qgv"] = floor(qgv)
     out["rainnc"] = state["rainnc"] + rain_sfc
     return out
