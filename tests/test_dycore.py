@@ -58,3 +58,41 @@ def test_warm_bubble_rises():
     mu0 = float(jnp.sum(state["mu"]))
     mu1 = float(jnp.sum(out["mu"]))
     assert abs(mu1 - mu0) < 1e-2 * state["mu"].size + 50.0
+
+
+def test_stacked_scalar_path_matches_per_tracer_loop():
+    """The stacked (n_tracers, nz, ny, nx) advection pass must be
+    numerically identical to the per-tracer loop (they share the same
+    operators; the gate is purely a performance/compile-size choice)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.config import (
+        ChemConfig, Config, DomainConfig, DynamicsConfig, TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.config.namelist import ChemOpt
+    from wrfchem_arc_interactions_tpu.models import ideal
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+
+    def run(stack_min):
+        cfg = Config(
+            domain=DomainConfig(nx=16, ny=6, nz=12, dx=2000.0, dy=2000.0,
+                                ztop=14000.0, p_top=14000.0),
+            time_control=TimeControl(dt=10.0),
+            dynamics=DynamicsConfig(kvdif=20.0, stack_tracer_min=stack_min),
+            chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN, chemdt_s=1e9,
+                            gaschem_onoff=False, aerchem_onoff=False),
+        )
+        grid, state = ideal.make_case(cfg, "squall2d_x", bubble_amp=3.0)
+        for b in (1, 2):
+            state[f"chem_so4_a{b:02d}"] = jnp.full_like(state["t"], 2.0)
+            state[f"chem_num_a{b:02d}"] = jnp.full_like(state["t"], 2e9)
+        sim = Simulation(cfg, grid, state, check_nans=True)
+        sim.advance(8)
+        return sim.state
+
+    a = run(1)          # stacked (tracer count >= 1)
+    b = run(10_000)     # per-tracer loop
+    for k in a:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        assert np.array_equal(va, vb) or np.allclose(va, vb, rtol=0,
+                                                     atol=1e-6 * max(1.0, np.abs(vb).max())), k

@@ -191,6 +191,12 @@ class DynamicsConfig:
     v_sca_adv_order: AdvOrder = AdvOrder.THIRD
     moist_adv_opt: AdvLimiter = AdvLimiter.POSITIVE_DEFINITE
     chem_adv_opt: AdvLimiter = AdvLimiter.POSITIVE_DEFINITE
+    # advect scalars as ONE stacked (n_tracers, nz, ny, nx) pass when at
+    # least this many are carried (chem configs: 40-140 tracers; the
+    # stacked pass collapses 3 x n_tracers advection/limiter operator
+    # instantiations to 3 — both a compile-time and a dispatch win).
+    # Below the threshold the measured-faster per-tracer loop runs.
+    stack_tracer_min: int = 8
     diff_opt: DiffOpt = DiffOpt.SIMPLE
     km_opt: KMOpt = KMOpt.SMAGORINSKY_3D
     khdif: float = 0.0                 # background horizontal diffusivity [m2/s]

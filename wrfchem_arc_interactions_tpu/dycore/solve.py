@@ -118,7 +118,30 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         "mu": state["mu"],
         "ph": state["ph"],
     }
-    phi_old = {name: mu_full_0[None] * state[name] for name in scalars}
+
+    # ---- scalar batching decision ------------------------------------
+    # Below ~8 tracers the per-tracer loop measured FASTER on TPU (round-3
+    # A/B at 3 moist tracers: 47 -> 77 ms stacked — the stack/unstack
+    # materialisations beat the op-count win).  At chemistry tracer counts
+    # (40-140 advected species) the stacked pass wins on BOTH program size
+    # (3 stages x n_tracers advection instantiations collapse to 3 — the
+    # 200x200 cold-compile blowup was mostly this) and runtime.
+    use_stack = len(scalars) >= dyn.stack_tracer_min
+    if use_stack:
+        sc_stack = jnp.stack([state[q] for q in scalars])
+        phi_old_st = mu_full_0[None, None] * sc_stack
+        moist_idx = {q: scalars.index(q) for q in moist if q in scalars}
+        if any(q in pt for q in scalars):
+            shp3 = state["t"].shape
+            dtype = state["t"].dtype
+            pt_stack = jnp.stack(
+                [jnp.broadcast_to(jnp.asarray(pt.get(q, 0.0), dtype), shp3)
+                 for q in scalars])
+        else:
+            pt_stack = None
+        phi_old = None
+    else:
+        phi_old = {name: mu_full_0[None] * state[name] for name in scalars}
 
     stage_state = state
     stage_dts = [dt / 3.0, dt / 2.0, dt]
@@ -149,8 +172,11 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             # the halo to build the coupled fluxes U = mu u / m there)
             fields["msfu"] = grid.msfu
             fields["msfv"] = grid.msfv
-        for q in scalars:
-            fields[q] = stage_state[q]
+        if use_stack:
+            fields["_scalars"] = sc_stack
+        else:
+            for q in scalars:
+                fields[q] = stage_state[q]
         gA = hx.pad_many(fields, 3)
         base_pads = ({"phb": gA["phb"], "mub": gA["mub"], "alb": gA["alb"]}
                      if grid.has_terrain else None)
@@ -341,38 +367,63 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         new["ph"] = cplref["ph"] + pp_out["ph"]
 
         # ---- scalars -------------------------------------------------
-        # NOTE on batching: the advection/limiter operators are fully
-        # batch-aware (a stacked (ns, nz, ny, nx) pass advects every
-        # tracer at once — see tests/test_advection.py and the Grell
-        # ensemble's vmap), but the measured TPU A/B REGRESSED the
-        # config-3 step 47 -> 77 ms when solve.py stacked its 3 moist
-        # tracers (artifacts/PERF_EVIDENCE_r3.md §5: the stack/unstack
-        # materialisations and 4D layouts cost more than the op-count
-        # win at small ns).  The per-tracer loop therefore remains the
-        # production path until a measured win at high tracer counts
-        # justifies switching (the batched entry point is one line).
+        # Two production paths (gate: dyn.stack_tracer_min, see the
+        # batching decision above): a per-tracer loop for small moist-only
+        # sets, and ONE stacked (n_tracers, nz, ny, nx) pass — the
+        # advection/limiter operators batch over leading axes — for
+        # chemistry-laden configs where 3 stages x n_tracers operator
+        # instantiations dominated both the HLO size and the dispatch
+        # count.
         final = istage == 2
         if final:
             gF = hx.pad_many({"ru": avg_flux["ru"], "rv": avg_flux["rv"]}, 3)
             ru_s, rv_s, ww_s = gF["ru"], gF["rv"], avg_flux["ww"]
         else:
             ru_s, rv_s, ww_s = ru_pad, rv_pad, ww
-        for q in scalars:
-            q_pad = gA[q]
+        if use_stack:
+            q_pad = gA["_scalars"]
             fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s, h_s, v_s)
             if final and dyn.moist_adv_opt == AdvLimiter.POSITIVE_DEFINITE:
-                fx, fy, fz = adv.pd_limit(q_pad, phi_old[q], fx, fy, fz,
+                fx, fy, fz = adv.pd_limit(q_pad, phi_old_st, fx, fy, fz,
                                           ru_s, rv_s, ww_s, dts, grid, hx)
             elif final and dyn.moist_adv_opt == AdvLimiter.MONOTONIC:
-                fx, fy, fz = adv.mono_limit(q_pad, phi_old[q], mu_full_new,
+                fx, fy, fz = adv.mono_limit(q_pad, phi_old_st, mu_full_new,
                                             fx, fy, fz, ru_s, rv_s, ww_s,
                                             dts, grid, hx)
-            tend = (adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
-                    + mu_full[None] * pt.get(q, 0.0))
-            qn = (phi_old[q] + dts * tend) / mu_full_new[None]
+            tend = adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
+            if pt_stack is not None:
+                tend = tend + mu_full[None, None] * pt_stack
+            sc_new = (phi_old_st + dts * tend) / mu_full_new[None, None]
             if final and dyn.moist_adv_opt != AdvLimiter.NONE:
-                qn = jnp.maximum(qn, 0.0)
-            new[q] = qn
+                sc_new = jnp.maximum(sc_new, 0.0)
+            sc_stack = sc_new
+            # diagnose() needs the moist subset in the state dict each
+            # stage; everything else unstacks only once, at the end
+            for q in moist:
+                if q in moist_idx:
+                    new[q] = sc_new[moist_idx[q]]
+            if final:
+                for i, q in enumerate(scalars):
+                    new[q] = sc_new[i]
+        else:
+            for q in scalars:
+                q_pad = gA[q]
+                fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s,
+                                               h_s, v_s)
+                if final and dyn.moist_adv_opt == AdvLimiter.POSITIVE_DEFINITE:
+                    fx, fy, fz = adv.pd_limit(q_pad, phi_old[q], fx, fy, fz,
+                                              ru_s, rv_s, ww_s, dts, grid, hx)
+                elif final and dyn.moist_adv_opt == AdvLimiter.MONOTONIC:
+                    fx, fy, fz = adv.mono_limit(q_pad, phi_old[q],
+                                                mu_full_new,
+                                                fx, fy, fz, ru_s, rv_s, ww_s,
+                                                dts, grid, hx)
+                tend = (adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
+                        + mu_full[None] * pt.get(q, 0.0))
+                qn = (phi_old[q] + dts * tend) / mu_full_new[None]
+                if final and dyn.moist_adv_opt != AdvLimiter.NONE:
+                    qn = jnp.maximum(qn, 0.0)
+                new[q] = qn
 
         stage_state = new
 
