@@ -176,11 +176,19 @@ def config3_main(n_warm=3, n_time=100, nx=100, ny=100):
     }))
 
 
-def config4_main():
-    """Subprocess entry: the interactive-ARC benchmark alone, one JSON line."""
+def config4_main(nbin8=False):
+    """Subprocess entry: the interactive-ARC benchmark alone, one JSON line.
+    With nbin8, the MOSAIC_8BIN package (VERDICT r3 item 6: bin count
+    scales the production cost; measure it)."""
     _enable_cache()
     import jax
-    gps4, step4, phases4, stats4 = _run(_cfg4(), n_warm=2, n_time=51,
+    cfg = _cfg4()
+    if nbin8:
+        import dataclasses
+        from wrfchem_arc_interactions_tpu.config.namelist import ChemOpt
+        cfg = cfg.replace(chem=dataclasses.replace(
+            cfg.chem, chem_opt=ChemOpt.CBMZ_MOSAIC_8BIN))
+    gps4, step4, phases4, stats4 = _run(cfg, n_warm=2, n_time=51,
                                         gas=True)
     print(json.dumps({
         "gridpoints_per_s_per_chip": round(gps4, 1),
@@ -231,8 +239,11 @@ def main():
     # (a cold 200x200 compile exceeded 50 min on this round's degraded
     # remote-compile service), so a long timeout only burns driver budget.
     extras["config3_large_200x200"] = (
-        _child(["--config3-large"], timeout=600)
+        _child(["--config3-large"], timeout=900)
         or {"skipped": "compile cache cold and service too slow"})
+    extras["config4_8bin"] = (
+        _child(["--config4-8bin"], timeout=900)
+        or {"skipped": "time budget exceeded or service down"})
     try:
         os.makedirs(os.path.join(_HERE, "artifacts"), exist_ok=True)
         with open(os.path.join(_HERE, "artifacts", "BENCH_extras.json"), "w") as f:
@@ -248,6 +259,8 @@ if __name__ == "__main__":
         config3_main(n_warm=2, n_time=40, nx=200, ny=200)
     elif "--config3-small" in sys.argv:
         config3_main(n_warm=1, n_time=10)
+    elif "--config4-8bin" in sys.argv:
+        config4_main(nbin8=True)
     elif "--config4" in sys.argv:
         config4_main()
     else:

@@ -3,6 +3,7 @@ behavior; VERDICT r1 item 9 'box-model day/night chemistry within
 literature ranges; J-rate reduction under thick aerosol')."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from wrfchem_arc_interactions_tpu.chem import aux, gas
@@ -190,3 +191,24 @@ def test_solver_accuracy_vs_f64():
                                                     + 1e-6 * cscale))
         assert rel_sparse < 2e-2, (regime, rel_sparse)
         assert rel_dense < 2e-2, (regime, rel_dense)
+
+
+@pytest.mark.slow
+def test_pallas_ros2_matches_xla_path():
+    """The Pallas VMEM kernel (ops/pallas_ros2.py, the TPU production gas
+    solver) must match the XLA scan path — checked in interpreter mode on
+    one tile at realistic concentrations."""
+    from wrfchem_arc_interactions_tpu.ops.pallas_ros2 import integrate_pallas
+
+    ncell = 1024
+    conc0 = np.asarray(_polluted_start())[:, 0]
+    rng = np.random.default_rng(11)
+    conc = jnp.asarray(conc0[:, None]
+                       * rng.uniform(0.5, 2.0, (gas.NS, ncell)), jnp.float32)
+    t = jnp.full((ncell,), 292.0)
+    m = jnp.full((ncell,), 2.46e19)
+    k = gas.rate_constants(t, m, jnp.full((ncell,), 0.6))
+    a = integrate_pallas(conc, k, 30.0, 1, interpret=True)
+    b = gas.integrate(conc, k, 30.0, n_sub=1, backend="xla")
+    rel = float(jnp.max(jnp.abs(a - b) / (jnp.abs(b) + 1e3)))
+    assert rel < 5e-3, rel
