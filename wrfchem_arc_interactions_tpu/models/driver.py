@@ -243,6 +243,20 @@ class Simulation:
             self._steppers[key] = self._wrap(fn)
         return self._steppers[key]
 
+    @staticmethod
+    def _sync(state, *names):
+        """True device sync: fetch ONE element of the first present field.
+        jax.block_until_ready under-reports on this image's remote-TPU
+        runtime (measured: a 30 ms pallas solve 'completed' in 0.5 ms),
+        and a phase must be synced on a field it actually WRITES (the old
+        chem sync blocked on theta, which chem passes through untouched).
+        A 4-byte device_get is an unambiguous completion barrier."""
+        for n in names:
+            if n in state:
+                a = state[n]
+                jax.device_get(a[(0,) * a.ndim])
+                return
+
     def advance(self, n_steps: int,
                 on_step: Optional[Callable[["Simulation"], None]] = None,
                 phase_timing: bool = False):
@@ -271,14 +285,15 @@ class Simulation:
                     self.state = self._stepper("chem")(self.state, self.grid,
                                                        t_now)
                 if phase_timing:
-                    jax.block_until_ready(self.state["t"])
+                    self._sync(self.state, "tau_aer_sw", "chem_o3",
+                               "chem_so4_a01", "t")
                     t1 = time.perf_counter()
                     self.phase_times["chem"] += t1 - t0
                     t0 = t1
             if do_rad:
                 self.state = self._stepper("rad")(self.state, self.grid, t_now)
                 if phase_timing:
-                    jax.block_until_ready(self.state["rthraten_sw"])
+                    self._sync(self.state, "rthraten_sw")
                     t1 = time.perf_counter()
                     self.phase_times["rad"] += t1 - t0
                     t0 = t1
@@ -288,7 +303,7 @@ class Simulation:
                     self.spec_bc.spec_mask, self.spec_bc.relax_w)
             else:
                 self.state = self._stepper("main")(self.state, self.grid, t_now)
-            jax.block_until_ready(self.state["t"])
+            self._sync(self.state, "t")
             if phase_timing:
                 self.phase_times["main"] += time.perf_counter() - t0
             elapsed = time.perf_counter() - t_start
