@@ -212,3 +212,121 @@ def test_pallas_ros2_matches_xla_path():
     b = gas.integrate(conc, k, 30.0, n_sub=1, backend="xla")
     rel = float(jnp.max(jnp.abs(a - b) / (jnp.abs(b) + 1e3)))
     assert rel < 5e-3, rel
+
+
+def test_pallas_symbolic_translation_matches_scan_arrays():
+    """Fast (no-Pallas) check that the kernel generator's plain-python
+    symbolic lists reproduce the scan path's padded index arrays exactly:
+    same assembly, same LU factor, same solve — in numpy, to f64
+    exactness.  (The interpret-mode kernel test above is the end-to-end
+    variant; this one isolates the translation logic and runs in
+    seconds.)"""
+    from wrfchem_arc_interactions_tpu.ops.pallas_ros2 import _symbolic_lists
+
+    kin = gas._kinetics()
+    sym = _symbolic_lists(kin)
+    ns = sym["ns"]
+    ncell = 32
+    rng = np.random.default_rng(5)
+    conc = np.asarray(_polluted_start())[:, 0][:, None] \
+        * rng.uniform(0.5, 2.0, (ns, ncell))
+    t = jnp.full((ncell,), 288.0)
+    m = jnp.full((ncell,), 2.5e19)
+    k = np.asarray(gas.rate_constants(t, m, jnp.full((ncell,), 0.7)),
+                   np.float64)
+    dts = 30.0
+    gamma = 1.0 + 1.0 / np.sqrt(2.0)
+    gdt = gamma * dts
+
+    # reference: the scan path's padded-array formulas in f64 numpy
+    c1 = np.concatenate([conc, np.ones((1, ncell))])
+    v = k * c1[kin.r1] * c1[kin.r2]
+    f0_ref = np.zeros((ns, ncell))
+    np.add.at(f0_ref, kin.f_tgt, kin.f_coef[:, None] * v[kin.f_rxn])
+    dv_ref = kin.p_coef[:, None] * k[kin.p_rxn] * c1[kin.p_oth]
+    jacv = np.zeros((kin.njac, ncell))
+    np.add.at(jacv, kin.jc_tgt, kin.jc_coef[:, None] * dv_ref[kin.jc_pair])
+    V = np.zeros((kin.nnz + 1, ncell))
+    V[kin.diag_pos] = 1.0
+    np.subtract.at(V, kin.jac_pos, gdt * jacv)
+    invd_ref = np.zeros((ns, ncell))
+    for kk in range(ns):
+        idk = 1.0 / V[int(kin.pkk[kk])]
+        invd_ref[kk] = idk
+        lik = V[kin.ikm[kk]] * idk
+        V[kin.ikm[kk]] = lik
+        outer = lik[:, None] * V[kin.kjm[kk]][None, :]
+        np.subtract.at(V, kin.updm[kk], outer.reshape(-1, ncell))
+    y = np.concatenate([f0_ref[np.asarray(kin.perm)],
+                        np.zeros((1, ncell))])
+    for li in range(kin.fw_ep.shape[0]):
+        np.subtract.at(y, kin.fw_er[li], V[kin.fw_ep[li]] * y[kin.fw_ec[li]])
+    x = y
+    invd_p = np.concatenate([invd_ref, np.zeros((1, ncell))])
+    for li in range(kin.bw_ep.shape[0]):
+        np.subtract.at(x, kin.bw_er[li],
+                       V[kin.bw_ep[li]] * x[kin.bw_ec[li]]
+                       * invd_p[kin.bw_ec[li]])
+    k1_ref = (x[:ns] * invd_ref)[np.asarray(kin.iperm)]
+
+    # symbolic-list replication (exactly what the kernel unrolls)
+    def prod(c):
+        vv = []
+        for j in range(sym["nr"]):
+            vj = k[j].copy()
+            if sym["r1"][j] != ns:
+                vj = vj * c[sym["r1"][j]]
+            if sym["r2"][j] != ns:
+                vj = vj * c[sym["r2"][j]]
+            vv.append(vj)
+        f = np.zeros((ns, ncell))
+        for i in range(ns):
+            for (j, coef) in sym["f_terms"][i]:
+                f[i] += coef * vv[j]
+        return f
+
+    f0 = prod(conc)
+    dv = []
+    for pid in range(len(sym["p_rxn"])):
+        d = k[sym["p_rxn"][pid]].copy()
+        if sym["p_coef"][pid] != 1.0:
+            d = sym["p_coef"][pid] * d
+        if sym["p_oth"][pid] != ns:
+            d = d * conc[sym["p_oth"][pid]]
+        dv.append(d)
+    vals = [None] * sym["nnz"]
+    for e, terms in enumerate(sym["jac_terms"]):
+        acc = sum(coef * dv[pid] for (pid, coef) in terms)
+        p = sym["jac_pos"][e]
+        vals[p] = (1.0 - gdt * acc) if p in sym["diag_pos"] else -gdt * acc
+    for p in range(sym["nnz"]):
+        if vals[p] is None:
+            vals[p] = (np.ones(ncell) if p in sym["diag_pos"]
+                       else np.zeros(ncell))
+    invd = [None] * ns
+    for kk, (pkk, ik, kj, upd) in enumerate(sym["stages"]):
+        idk = 1.0 / vals[pkk]
+        invd[kk] = idk
+        for a, pik in enumerate(ik):
+            lik = vals[pik] * idk
+            vals[pik] = lik
+            for b, pkj in enumerate(kj):
+                vals[upd[a][b]] = vals[upd[a][b]] - lik * vals[pkj]
+    ys = [None] * ns
+    for q in range(ns):
+        acc = f0[sym["perm"][q]].copy()
+        for (ep, ec) in sym["fw_rows"][q]:
+            acc = acc - vals[ep] * ys[ec]
+        ys[q] = acc
+    xs = [None] * ns
+    for q in range(ns - 1, -1, -1):
+        acc = ys[q]
+        for (ep, ec) in sym["bw_rows"][q]:
+            acc = acc - vals[ep] * xs[ec]
+        xs[q] = acc * invd[q]
+    k1 = np.zeros((ns, ncell))
+    for q in range(ns):
+        k1[sym["perm"][q]] = xs[q]
+
+    np.testing.assert_allclose(f0, f0_ref, rtol=1e-12, atol=0)
+    np.testing.assert_allclose(k1, k1_ref, rtol=1e-9, atol=1e-12)
