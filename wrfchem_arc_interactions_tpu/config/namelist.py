@@ -192,11 +192,13 @@ class DynamicsConfig:
     moist_adv_opt: AdvLimiter = AdvLimiter.POSITIVE_DEFINITE
     chem_adv_opt: AdvLimiter = AdvLimiter.POSITIVE_DEFINITE
     # advect scalars as ONE stacked (n_tracers, nz, ny, nx) pass when at
-    # least this many are carried (chem configs: 40-140 tracers; the
-    # stacked pass collapses 3 x n_tracers advection/limiter operator
-    # instantiations to 3 — both a compile-time and a dispatch win).
-    # Below the threshold the measured-faster per-tracer loop runs.
-    stack_tracer_min: int = 8
+    # least this many are carried.  Measured on the v5e the per-tracer
+    # loop is FASTER at every tested tracer count (3 tracers: 44 vs 77 ms;
+    # 47 tracers: 44 vs 70 ms — XLA's 4D-batched stencil layouts lose more
+    # than the op-count win), so the default effectively disables stacking;
+    # the stacked path remains available (and equivalence-tested) for
+    # configs where program size matters more than step time.
+    stack_tracer_min: int = 1_000_000
     diff_opt: DiffOpt = DiffOpt.SIMPLE
     km_opt: KMOpt = KMOpt.SMAGORINSKY_3D
     khdif: float = 0.0                 # background horizontal diffusivity [m2/s]
