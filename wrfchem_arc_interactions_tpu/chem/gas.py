@@ -707,7 +707,9 @@ def integrate(conc: jax.Array, k: jax.Array, dt_total: float,
             plat = jax.devices()[0].platform
         except Exception:               # pragma: no cover
             plat = "cpu"
-        backend = "pallas" if plat not in ("cpu",) else "xla"
+        # the kernel targets pltpu.VMEM explicitly: only select it on TPU
+        # (a GPU backend would fail at Mosaic lowering)
+        backend = "pallas" if plat == "tpu" else "xla"
     if backend == "pallas":
         from wrfchem_arc_interactions_tpu.ops.pallas_ros2 import (
             integrate_pallas,

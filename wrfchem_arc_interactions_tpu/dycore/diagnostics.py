@@ -42,7 +42,10 @@ def moist_sums(state: State, moist: tuple) -> tuple:
         return zeros, zeros
     qtot = jnp.zeros_like(qv)
     for name in moist:
-        if name.startswith("q"):
+        # mass mixing ratios only: qgv is the graupel rime VOLUME mixing
+        # ratio [m3/kg] (Morrison rime-density physics) and must not be
+        # counted in the condensate mass loading
+        if name.startswith("q") and name != "qgv":
             qtot = qtot + state[name]
     return qv, qtot
 

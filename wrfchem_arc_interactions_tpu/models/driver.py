@@ -99,6 +99,23 @@ class Simulation:
         self.chem_every = max(1, round(cfg.chem.chemdt_s / self.dt)) \
             if cfg.chem.chem_opt.value != "none" else 0
 
+        # chem-phase sync field, derived from what the chem driver WRITES
+        # under this config (ADVICE r4: a hard-coded list silently degrades
+        # to syncing on a pass-through field for configs that lack the
+        # listed names).  Preference: the aerosol optics output (computed
+        # LAST in chem_driver, so fetching it transitively barriers the
+        # whole chem chain) when aer_ra_feedback is on; else the first gas
+        # species when the mechanism runs; else any chem_ field (all are
+        # rewritten by drydep/vertmix/aerchem); else theta.
+        ch = cfg.chem
+        self._chem_sync: tuple = ()
+        if ch.aer_ra_feedback:
+            self._chem_sync += ("tau_aer_sw",)
+        if ch.gaschem_onoff:
+            self._chem_sync += ("chem_o3",)
+        self._chem_sync += tuple(k for k in state if k.startswith("chem_"))
+        self._chem_sync += ("t",)
+
         self._steppers: Dict = {}
         if mesh is not None:
             s_specs = state_partition_specs(cfg)
@@ -285,8 +302,7 @@ class Simulation:
                     self.state = self._stepper("chem")(self.state, self.grid,
                                                        t_now)
                 if phase_timing:
-                    self._sync(self.state, "tau_aer_sw", "chem_o3",
-                               "chem_so4_a01", "t")
+                    self._sync(self.state, *self._chem_sync)
                     t1 = time.perf_counter()
                     self.phase_times["chem"] += t1 - t0
                     t0 = t1

@@ -234,5 +234,10 @@ def integrate_pallas(conc: jax.Array, k: jax.Array, dt_total: float,
     step = _step_fn(kin_key, float(dt_total) / n_sub, interpret)
     for _ in range(n_sub):
         conc_t = step(conc_t, k_t)
-    out = conc_t.reshape(ns, nt * TILE)
-    return out[:, :ncell]
+    out = conc_t.reshape(ns, nt * TILE)[:, :ncell]
+    # the kernel computes in f32; match the XLA path's dtype contract
+    # (preserve the caller's dtype) — static check, so f32 inputs trace
+    # byte-identically to before
+    if out.dtype != conc.dtype:
+        out = out.astype(conc.dtype)
+    return out
