@@ -262,17 +262,24 @@ class Simulation:
 
     @staticmethod
     def _sync(state, *names):
-        """True device sync: fetch ONE element of the first present field.
-        jax.block_until_ready under-reports on this image's remote-TPU
-        runtime (measured: a 30 ms pallas solve 'completed' in 0.5 ms),
-        and a phase must be synced on a field it actually WRITES (the old
-        chem sync blocked on theta, which chem passes through untouched).
-        A 4-byte device_get is an unambiguous completion barrier."""
+        """True device sync: fetch ONE element of the first present field
+        the phase actually WRITES (a pass-through field's buffer can
+        complete without the phase's compute).  A 4-byte device_get is an
+        unambiguous completion barrier — but on this image's tunneled TPU it
+        costs a full ~29 ms host round trip (measured round 5), so it is
+        used ONLY at window boundaries and in the explicit phase-timing
+        mode, never per production step: a per-step sync measures tunnel
+        LATENCY, not compute (round 4's 46 ms/step headline was ~29 ms RTT
+        + ~17 ms compute)."""
         for n in names:
             if n in state:
                 a = state[n]
                 jax.device_get(a[(0,) * a.ndim])
                 return
+
+    def sync(self):
+        """Block until every queued step has executed (window barrier)."""
+        self._sync(self.state, "t")
 
     def advance(self, n_steps: int,
                 on_step: Optional[Callable[["Simulation"], None]] = None,
@@ -319,9 +326,12 @@ class Simulation:
                     self.spec_bc.spec_mask, self.spec_bc.relax_w)
             else:
                 self.state = self._stepper("main")(self.state, self.grid, t_now)
-            self._sync(self.state, "t")
             if phase_timing:
+                self._sync(self.state, "t")
                 self.phase_times["main"] += time.perf_counter() - t0
+            # steps are chained asynchronously (XLA queues them back to
+            # back); `elapsed` is enqueue time unless phase_timing synced.
+            # Throughput is measured over chained windows closed by sync().
             elapsed = time.perf_counter() - t_start
             self.step_times.append(elapsed)
             self.step_idx += 1
