@@ -78,7 +78,8 @@ def test_stacked_scalar_path_matches_per_tracer_loop():
             domain=DomainConfig(nx=16, ny=6, nz=12, dx=2000.0, dy=2000.0,
                                 ztop=14000.0, p_top=14000.0),
             time_control=TimeControl(dt=10.0),
-            dynamics=DynamicsConfig(kvdif=20.0, stack_tracer_min=stack_min),
+            dynamics=DynamicsConfig(kvdif=20.0, stack_tracer_min=stack_min,
+                                    scan_tracer_min=10_000),
             chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN, chemdt_s=1e9,
                             gaschem_onoff=False, aerchem_onoff=False),
         )
@@ -96,3 +97,50 @@ def test_stacked_scalar_path_matches_per_tracer_loop():
         va, vb = np.asarray(a[k]), np.asarray(b[k])
         assert np.array_equal(va, vb) or np.allclose(va, vb, rtol=0,
                                                      atol=1e-6 * max(1.0, np.abs(vb).max())), k
+
+
+def test_scan_scalar_path_matches_per_tracer_loop():
+    """The lax.scan tracer path (round-5 production default for chem
+    configs: O(1) HLO in tracer count AND measured faster than the
+    unrolled loop) must reproduce the per-tracer loop exactly, including
+    the PD-limited final stage and physics-tendency routing (tendency
+    carriers stay on the unrolled path)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.config import (
+        ChemConfig, Config, DomainConfig, DynamicsConfig, PhysicsConfig,
+        TimeControl,
+    )
+    from wrfchem_arc_interactions_tpu.config.namelist import (
+        ChemOpt, MPScheme, PBLScheme,
+    )
+    from wrfchem_arc_interactions_tpu.models import ideal
+    from wrfchem_arc_interactions_tpu.models.driver import Simulation
+
+    def run(scan_min):
+        cfg = Config(
+            domain=DomainConfig(nx=16, ny=6, nz=12, dx=2000.0, dy=2000.0,
+                                ztop=14000.0, p_top=14000.0),
+            time_control=TimeControl(dt=10.0),
+            dynamics=DynamicsConfig(kvdif=20.0, scan_tracer_min=scan_min),
+            # PBL on so moist tracers carry physics tendencies (they must
+            # route to the unrolled path under scan)
+            physics=PhysicsConfig(mp_physics=MPScheme.KESSLER,
+                                  bl_pbl_physics=PBLScheme.YSU),
+            chem=ChemConfig(chem_opt=ChemOpt.MOSAIC_4BIN, chemdt_s=1e9,
+                            gaschem_onoff=False, aerchem_onoff=False),
+        )
+        grid, state = ideal.make_case(cfg, "squall2d_x", bubble_amp=3.0)
+        for b in (1, 2):
+            state[f"chem_so4_a{b:02d}"] = jnp.full_like(state["t"], 2.0)
+            state[f"chem_num_a{b:02d}"] = jnp.full_like(state["t"], 2e9)
+        sim = Simulation(cfg, grid, state, check_nans=True)
+        sim.advance(8)
+        return sim.state
+
+    a = run(1)          # scan path
+    b = run(10_000)     # per-tracer loop
+    for k in a:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        assert np.array_equal(va, vb) or np.allclose(
+            va, vb, rtol=0, atol=1e-6 * max(1.0, np.abs(vb).max())), k

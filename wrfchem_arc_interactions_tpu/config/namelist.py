@@ -199,6 +199,15 @@ class DynamicsConfig:
     # the stacked path remains available (and equivalence-tested) for
     # configs where program size matters more than step time.
     stack_tracer_min: int = 1_000_000
+    # lax.scan over the stacked tracers: the per-tracer advection body is
+    # traced ONCE, so the HLO stays O(1) in tracer count (the 3-stage x
+    # n-tracer instantiation blowup was the 200x200 cold-compile killer)
+    # AND it measured FASTER than the unrolled loop on the v5e at 44
+    # tracers (5.7 vs 6.2 ms plain stage, 7.8 vs 10.4 ms PD stage —
+    # round-5 A/B).  Tracers carrying physics tendencies stay on the
+    # unrolled path; below this count the loop is used (scan overhead
+    # dominates at moist-only counts).
+    scan_tracer_min: int = 8
     diff_opt: DiffOpt = DiffOpt.SIMPLE
     km_opt: KMOpt = KMOpt.SMAGORINSKY_3D
     khdif: float = 0.0                 # background horizontal diffusivity [m2/s]

@@ -120,13 +120,22 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
     }
 
     # ---- scalar batching decision ------------------------------------
-    # Below ~8 tracers the per-tracer loop measured FASTER on TPU (round-3
-    # A/B at 3 moist tracers: 47 -> 77 ms stacked — the stack/unstack
-    # materialisations beat the op-count win).  At chemistry tracer counts
-    # (40-140 advected species) the stacked pass wins on BOTH program size
-    # (3 stages x n_tracers advection instantiations collapse to 3 — the
-    # 200x200 cold-compile blowup was mostly this) and runtime.
+    # Three paths (round-3/round-5 A/Bs on the v5e):
+    # - unrolled per-tracer loop: fastest at moist-only counts (3-7), and
+    #   the only path for tracers carrying physics tendencies;
+    # - lax.scan over the stacked tracers (scan_tracer_min, DEFAULT for
+    #   chemistry configs): the advection/limiter body traces ONCE, so the
+    #   HLO is O(1) in tracer count (kills the 200x200 cold-compile
+    #   blowup) and it measured FASTER than the unrolled loop (5.7 vs
+    #   6.2 ms plain, 7.8 vs 10.4 ms PD at 44 tracers);
+    # - one batched (n_tracers, nz, ny, nx) pass (stack_tracer_min,
+    #   default off): XLA's 4D-batched stencil layouts measured slower at
+    #   every tracer count, kept for program-size-bound uses.
     use_stack = len(scalars) >= dyn.stack_tracer_min
+    scan_names: tuple = ()
+    if not use_stack and len(scalars) >= dyn.scan_tracer_min:
+        scan_names = scalars
+    loop_names = tuple(q for q in scalars if q not in scan_names)
     if use_stack:
         sc_stack = jnp.stack([state[q] for q in scalars])
         phi_old_st = mu_full_0[None, None] * sc_stack
@@ -141,7 +150,23 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
             pt_stack = None
         phi_old = None
     else:
-        phi_old = {name: mu_full_0[None] * state[name] for name in scalars}
+        phi_old = {name: mu_full_0[None] * state[name] for name in loop_names}
+        if scan_names:
+            sc_scan = jnp.stack([state[q] for q in scan_names])
+            phi_scan = mu_full_0[None, None] * sc_scan
+            moist_scan = {q: scan_names.index(q) for q in moist
+                          if q in scan_names}
+            # physics tendencies ride the scan as a third input, stacked
+            # ONCE per step (pt is stage-invariant); an all-zero broadcast
+            # stub keeps the body uniform when no tracer carries one
+            dtype = state["t"].dtype
+            if any(q in pt for q in scan_names):
+                shp3 = state["t"].shape
+                pt_scan = jnp.stack(
+                    [jnp.broadcast_to(jnp.asarray(pt.get(q, 0.0), dtype),
+                                      shp3) for q in scan_names])
+            else:
+                pt_scan = jnp.zeros((len(scan_names), 1, 1, 1), dtype)
 
     stage_state = state
     stage_dts = [dt / 3.0, dt / 2.0, dt]
@@ -175,8 +200,10 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
         if use_stack:
             fields["_scalars"] = sc_stack
         else:
-            for q in scalars:
+            for q in loop_names:
                 fields[q] = stage_state[q]
+            if scan_names:
+                fields["_scan"] = sc_scan
         gA = hx.pad_many(fields, 3)
         base_pads = ({"phb": gA["phb"], "mub": gA["mub"], "alb": gA["alb"]}
                      if grid.has_terrain else None)
@@ -406,7 +433,7 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
                 for i, q in enumerate(scalars):
                     new[q] = sc_new[i]
         else:
-            for q in scalars:
+            for q in loop_names:
                 q_pad = gA[q]
                 fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s,
                                                h_s, v_s)
@@ -424,6 +451,36 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
                 if final and dyn.moist_adv_opt != AdvLimiter.NONE:
                     qn = jnp.maximum(qn, 0.0)
                 new[q] = qn
+            if scan_names:
+                # one traced advection body for ALL scan tracers
+                def scan_body(_, inp, final=final, mu_new=mu_full_new,
+                              ru_s=ru_s, rv_s=rv_s, ww_s=ww_s, dts=dts):
+                    q_pad, phi_q, pt_q = inp
+                    fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s,
+                                                   h_s, v_s)
+                    if final and dyn.moist_adv_opt == AdvLimiter.POSITIVE_DEFINITE:
+                        fx, fy, fz = adv.pd_limit(q_pad, phi_q, fx, fy, fz,
+                                                  ru_s, rv_s, ww_s, dts,
+                                                  grid, hx)
+                    elif final and dyn.moist_adv_opt == AdvLimiter.MONOTONIC:
+                        fx, fy, fz = adv.mono_limit(q_pad, phi_q, mu_new,
+                                                    fx, fy, fz, ru_s, rv_s,
+                                                    ww_s, dts, grid, hx)
+                    tend = (adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
+                            + mu_full[None] * pt_q)
+                    qn = (phi_q + dts * tend) / mu_new[None]
+                    if final and dyn.moist_adv_opt != AdvLimiter.NONE:
+                        qn = jnp.maximum(qn, 0.0)
+                    return None, qn
+
+                _, sc_new = jax.lax.scan(scan_body, None,
+                                         (gA["_scan"], phi_scan, pt_scan))
+                sc_scan = sc_new
+                for q, i in moist_scan.items():
+                    new[q] = sc_new[i]
+                if final:
+                    for i, q in enumerate(scan_names):
+                        new[q] = sc_new[i]
 
         stage_state = new
 

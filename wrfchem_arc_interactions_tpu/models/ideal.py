@@ -372,6 +372,89 @@ def les_cbl(cfg: Config, theta_sfc: float = 300.0,
     return grid, state
 
 
+def tropical_cyclone(cfg: Config, v_max: float = 15.0, r_max: float = 80e3,
+                     z_decay: float = 12000.0, sst: float = 302.0,
+                     f0: float = 5.0e-5) -> Tuple[Grid, State]:
+    """Axisymmetric warm-core vortex on an f-plane over a warm SST
+    (canonical: dyn_em/module_initialize_tropical_cyclone.F, the
+    Rotunno-Emanuel-style TC spin-up case; SURVEY.md §2.1 ideal cases).
+
+    Construction:
+    - moist-tropical base state: Weisman-Klemp theta sounding with a
+      Jordan-like RH profile (near-saturated boundary layer, drying aloft);
+    - tangential wind  v_t(r, z) = v_max (r/r_m) exp(1 - r/r_m) fade(z)
+      (smooth Rankine; fade = cos^2 ramp to zero at z_decay);
+    - thermal-wind-balanced warm core: with G(r, z) = f v_t + v_t^2/r, the
+      gradient-wind/hydrostatic compatibility in height coordinates gives
+      (g/theta0) dtheta'/dr = dG/dz, so
+          theta'(r, z) = (theta0/g) * integral_r^R dG/dz dr'  (inward)
+      — positive where v_t decays with height, i.e. a warm core;
+    - hydrostatic rebalance via init_balanced; winds projected onto the
+      C-grid axes; SST fixed at `sst` (ocean column: the Noah fields are
+      set water-like by init_balanced's tsk handling).
+
+    The case is deliberately resolution-agnostic: the vortex is placed at
+    the domain centre and the default r_max spans ~4 cells at dx = 20 km.
+    """
+    d = cfg.domain
+
+    def rh_of_z(z):
+        z = np.asarray(z)
+        return np.clip(0.95 - 0.55 * z / 14000.0, 0.25, 0.95)
+
+    grid = make_grid(cfg, soundings.weisman_klemp_theta(), f0=f0, lat0=15.0)
+    z_w = np.asarray(grid.phb, np.float64) / c.G
+    z = 0.5 * (z_w[:-1] + z_w[1:])                     # (nz, ny, nx)
+    theta0 = np.asarray(grid.t_init, np.float64)
+
+    x = (np.arange(d.nx) + 0.5) * d.dx
+    y = (np.arange(d.ny) + 0.5) * d.dy
+    xc, yc = 0.5 * d.nx * d.dx, 0.5 * d.ny * d.dy
+    dx_ = x[None, :] - xc                               # (1, nx) -> broadcast
+    dy_ = y[:, None] - yc                               # (ny, 1)
+    r = np.sqrt(dx_ ** 2 + dy_ ** 2)[None]              # (1, ny, nx)
+    r = np.maximum(r, 1.0)
+
+    fade = np.where(z < z_decay, np.cos(0.5 * np.pi * np.clip(z / z_decay, 0.0, 1.0)) ** 2, 0.0)
+    vt = v_max * (r / r_max) * np.exp(1.0 - r / r_max) * fade   # (nz, ny, nx)
+
+    # thermal-wind warm core: integrate dG/dz inward from the domain
+    # edge on an axisymmetric 1D radial profile, then sample by radius
+    nr = 200
+    r1 = np.linspace(0.0, max(xc, yc) * 1.5, nr)
+    r1 = np.maximum(r1, 1.0)
+    z1 = z[:, d.ny // 2, d.nx // 2]                     # centre column heights
+    fade1 = np.where(z1 < z_decay,
+                     np.cos(0.5 * np.pi * np.clip(z1 / z_decay, 0.0, 1.0)) ** 2,
+                     0.0)
+    vt1 = v_max * (r1[None, :] / r_max) * np.exp(1.0 - r1[None, :] / r_max) \
+        * fade1[:, None]                                # (nz, nr)
+    G1 = f0 * vt1 + vt1 ** 2 / r1[None, :]
+    dz1 = np.gradient(z1)
+    dG1dz = np.gradient(G1, axis=0) / dz1[:, None]
+    # thermal wind dtheta'/dr = (theta0/g) dG/dz < 0 aloft, so
+    # theta'(r) = -(theta0/g) * int_r^R dG/dz dr'  (zero at the outer
+    # edge; positive at the core where v_t decays with height)
+    dr1 = np.gradient(r1)
+    cum = np.cumsum((dG1dz * dr1[None, :])[:, ::-1], axis=1)[:, ::-1]
+    th1 = -(300.0 / c.G) * cum                          # (nz, nr)
+    # sample onto the 3D grid by radius
+    th_pert = np.stack([np.interp(r[0], r1, th1[k]) for k in range(d.nz)])
+
+    theta = theta0 + th_pert
+    p_mass = c.P0 * np.exp(-z / 8000.0)                 # rough p for qv calc
+    qv = soundings.qv_from_rh(theta, p_mass, rh_of_z(z))
+
+    state = init_balanced(cfg, grid, theta, qv, tsk=sst)
+    # project the tangential wind onto the grid axes:
+    # u = -v_t sin(phi), v = v_t cos(phi)
+    sin_phi = dy_[None] / r
+    cos_phi = dx_[None] / r
+    state["u"] = jnp.asarray(-vt * sin_phi, state["u"].dtype)
+    state["v"] = jnp.asarray(vt * cos_phi, state["v"].dtype)
+    return grid, state
+
+
 def make_case(cfg: Config, case: str = "warm_bubble", **kw):
     """Convenience: (grid, state) for a named ideal case."""
     if case == "hill2d_x":
@@ -398,6 +481,8 @@ def make_case(cfg: Config, case: str = "warm_bubble", **kw):
     if case == "quarter_ss":
         grid = make_grid(cfg, soundings.weisman_klemp_theta())
         return grid, supercell_3d(cfg, grid, **kw)
+    if case == "tropical_cyclone":
+        return tropical_cyclone(cfg, **kw)
     if case == "quiescent":
         grid = make_grid(cfg, soundings.constant_n2_theta())
         theta = np.asarray(grid.t_init, np.float64)

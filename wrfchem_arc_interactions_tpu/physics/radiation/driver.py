@@ -163,13 +163,30 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s,
                          julian_day=julian_day).reshape(ncol)
         albedo = jnp.full((ncol,), ALBEDO, p_lay.dtype)
         args = [p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo]
+        # Twomey / first-indirect pathway: prognostic droplet number sets
+        # the cloud effective radius  re = k_disp (3 qc / (4 pi rho_w
+        # Nc))^(1/3)  (qc and Nc both per kg air, so the air density
+        # cancels), clipped to the 2.5-50 um validity range of the
+        # geometric-optics cloud tau (canonical: effradius in
+        # module_mp_morr_two_moment.F -> cldprop_sw).
+        re_flat = None
+        if phys.progn and "nc" in state and "qc" in state:
+            flat = lambda a: a.reshape(a.shape[:-2] + (ncol,))
+            qc_f = flat(state["qc"])
+            nc_f = jnp.maximum(flat(state["nc"]), 1.0e3)
+            rvol = (3.0 * jnp.maximum(qc_f, 0.0)
+                    / (4.0 * jnp.pi * 1000.0 * nc_f)) ** (1.0 / 3.0)
+            re_flat = jnp.clip(1.1 * rvol, 2.5e-6, 50.0e-6)
         has_aer, has_cf = aer_sw is not None, cf is not None
+        has_re = re_flat is not None
         if has_aer:
             args += [aer_sw[0], aer_sw[1], aer_sw[2]]
         if has_cf:
             args += [cf, seed]
+        if has_re:
+            args += [re_flat]
 
-        def sw_fn(*a, _na=has_aer, _nc=has_cf):
+        def sw_fn(*a, _na=has_aer, _nc=has_cf, _nr=has_re):
             kw, i = {}, 7
             if _na:
                 kw["tau_aer_sw"], kw["ssa_aer_sw"], kw["asy_aer_sw"] = \
@@ -177,6 +194,9 @@ def radiation_driver(state: State, grid: Grid, cfg: Config, time_s,
                 i += 3
             if _nc:
                 kw["cldfra"] = a[i]; kw["mcica_seed"] = a[i + 1][0]
+                i += 2
+            if _nr:
+                kw["re_liq"] = a[i]
             return sw_fluxes(*a[:7], **kw)
 
         sw = _map_col_chunks(sw_fn, ncol, *args)

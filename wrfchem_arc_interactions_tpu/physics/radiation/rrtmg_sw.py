@@ -34,8 +34,17 @@ ASY_LIQ = 0.85
 EPS = 1e-6
 
 
-def cloud_tau_sw(lwp: jax.Array) -> jax.Array:
-    return 1.5 * lwp / (c.RHOWATER * RE_LIQ)
+def cloud_tau_sw(lwp: jax.Array, re_liq=None) -> jax.Array:
+    """Geometric-optics liquid cloud extinction tau = 3 LWP / (2 rho_w re).
+
+    `re_liq` (same shape as lwp, metres) carries the microphysics-coupled
+    droplet effective radius — the Twomey/first-indirect pathway: higher
+    activated Nc at fixed LWC gives smaller re, larger tau, brighter cloud
+    (canonical: re_cloud from module_mp_morr_two_moment.F feeding
+    module_ra_rrtmg_sw.F cldprop_sw).  None keeps the fixed 10 um default
+    used when droplet number is not prognostic."""
+    re = RE_LIQ if re_liq is None else re_liq
+    return 1.5 * lwp / (c.RHOWATER * re)
 
 
 def two_stream(tau, ssa, asy, mu0):
@@ -106,7 +115,8 @@ def sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
               ssa_aer_sw: Optional[jax.Array] = None,
               asy_aer_sw: Optional[jax.Array] = None,
               cldfra: Optional[jax.Array] = None,
-              mcica_seed=0) -> Dict[str, jax.Array]:
+              mcica_seed=0,
+              re_liq: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
     """SW flux profiles. Inputs (nz, ncol); mu0, albedo (ncol,); aerosol
     arrays (nband_sw, nz, ncol). Returns face fluxes (nz+1, ncol), heating
     (nz, ncol), and surface/TOA diagnostics.
@@ -127,9 +137,9 @@ def sw_fluxes(p_lay, t_lay, dp_lay, qv, lwp, mu0, albedo,
         cf = jnp.clip(cldfra, 0.0, 1.0)
         mask = mcica.mcica_mask(cf, tau_gas.shape[0], mcica_seed)
         lwp_ic = lwp / jnp.maximum(cf, mcica.CF_MIN)
-        tau_cld = cloud_tau_sw(lwp_ic)[None] * mask
+        tau_cld = cloud_tau_sw(lwp_ic, re_liq)[None] * mask
     else:
-        tau_cld = cloud_tau_sw(lwp)[None]
+        tau_cld = cloud_tau_sw(lwp, re_liq)[None]
 
     tau_tot = tau_gas + tau_ray + tau_cld
     w_ray = tau_ray
