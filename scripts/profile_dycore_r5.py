@@ -62,8 +62,8 @@ def main():
 
     # acoustic-substep marginal cost: ns_total 4 -> stages (1,2,4) = 7
     # substeps; ns_total 2 -> (1,1,2) = 4.  Delta/3 = per-substep cost.
-    cfg2 = cfg.replace(time_control=dataclasses.replace(
-        cfg.time_control, time_step_sound=2))
+    cfg2 = cfg.replace(dynamics=dataclasses.replace(
+        cfg.dynamics, time_step_sound=2))
     f_dyn2 = jax.jit(lambda s, t: dyn_step(s, grid, cfg2, hx, dt, t))
     out["dyn_step_ns2_ms"] = best_of(f_dyn2, (s1, tend))
     out["acoustic_substep_ms"] = (out["dyn_step_ms"]

@@ -108,7 +108,14 @@ def chem_driver(state: State, grid: Grid, cfg: Config, hx, dt: float,
                           for s in gas.GAS_SPECIES]).reshape(gas.NS, -1)
         k_rxn = gas.rate_constants(t_air, m_air,
                                    j_scale).reshape(gas.NR_RXN, -1)
-        conc = gas.integrate(conc, k_rxn, dt)
+        if ch.gas_adaptive:
+            # KPP-style error-controlled stepping (accuracy audits /
+            # stiff-event robustness); fixed substeps are the production
+            # default — see gas.integrate_adaptive
+            conc = gas.integrate_adaptive(conc, k_rxn, dt,
+                                          rtol=ch.gas_rtol, atol=ch.gas_atol)
+        else:
+            conc = gas.integrate(conc, k_rxn, dt)
         conc = conc.reshape((gas.NS,) + shape)
         for i, s in enumerate(gas.GAS_SPECIES):
             chem[f"chem_{s}"] = conc[i] / m_air * 1e6

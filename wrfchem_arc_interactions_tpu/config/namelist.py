@@ -208,6 +208,14 @@ class DynamicsConfig:
     # unrolled path; below this count the loop is used (scan overhead
     # dominates at moist-only counts).
     scan_tracer_min: int = 8
+    # Canonical chem-scalar treatment (solve_em.F: chem/tracer arrays are
+    # advected ONLY on the final RK3 stage, as one flux-form update from
+    # the step-start value with the time-averaged acoustic mass fluxes and
+    # the chem_adv_opt limiter; moist + TKE ride every stage because the
+    # stage diagnostics consume them).  Cuts chem advection work AND the
+    # stage-0/1 scalar halo traffic by 3x; set False to advect every
+    # tracer in every stage.
+    chem_adv_final_only: bool = True
     diff_opt: DiffOpt = DiffOpt.SIMPLE
     km_opt: KMOpt = KMOpt.SMAGORINSKY_3D
     khdif: float = 0.0                 # background horizontal diffusivity [m2/s]
@@ -221,6 +229,12 @@ class DynamicsConfig:
     dampcoef: float = 0.2
     diff_6th_opt: int = 0              # 0 off, 1 on, 2 monotonic
     diff_6th_factor: float = 0.12
+    # polar Fourier filtering for global lat-lon runs (canonical
+    # &dynamics fft_filter_lat + dyn_em/module_polar_fft.F): rows poleward
+    # of this latitude are zonally truncated each RK stage so the pole
+    # rows' collapsing dx*cos(lat) doesn't set the domain CFL.  > 90
+    # disables (limited-area default); requires the x axis unsharded.
+    fft_filter_lat: float = 91.0
     mix_full_fields: bool = True
     bc_x: BCKind = BCKind.PERIODIC
     bc_y: BCKind = BCKind.PERIODIC
@@ -247,6 +261,12 @@ class ChemConfig:
     drydep_opt: bool = True
     emiss_opt: bool = False
     aer_op_opt: int = 1                # 1: volume-mixing Mie; 2: Maxwell-Garnett; 3: core-shell
+    # KPP-style adaptive error control in the gas solver (per-cell
+    # accept/reject Rosenbrock stepping, gas.integrate_adaptive); the
+    # fixed-substep path is the faster production default
+    gas_adaptive: bool = False
+    gas_rtol: float = 1e-3
+    gas_atol: float = 1e3              # [molec/cm3] (~4e-14 ppmv)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,6 +88,20 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
     ns_total = cfg.n_acoustic
     pt = phys_tend or {}
 
+    # ---- chem-scalar stage split (canonical: solve_em.F advects the
+    # chem/tracer 4D arrays ONLY on the final RK3 step — one flux-form
+    # update from the step-start value with the time-averaged acoustic
+    # mass fluxes and PD/monotonic limiting — while moist and TKE ride
+    # every stage because diagnose()/physics consume their stage values).
+    # Besides matching the reference, this cuts chem advection work and
+    # the stage-0/1 scalar halo traffic by 3x.
+    stage_set = set(moist) | {"tke", "qke"} | set(pt)
+    if dyn.chem_adv_final_only:
+        final_scalars = tuple(q for q in scalars if q not in stage_set)
+    else:
+        final_scalars = ()
+    stage_scalars = tuple(q for q in scalars if q not in final_scalars)
+
     h_m, v_m = dyn.h_mom_adv_order.value, dyn.v_mom_adv_order.value
     h_s, v_s = dyn.h_sca_adv_order.value, dyn.v_sca_adv_order.value
 
@@ -131,21 +145,25 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
     # - one batched (n_tracers, nz, ny, nx) pass (stack_tracer_min,
     #   default off): XLA's 4D-batched stencil layouts measured slower at
     #   every tracer count, kept for program-size-bound uses.
-    use_stack = len(scalars) >= dyn.stack_tracer_min
+    use_stack = len(stage_scalars) >= dyn.stack_tracer_min
     scan_names: tuple = ()
-    if not use_stack and len(scalars) >= dyn.scan_tracer_min:
-        scan_names = scalars
-    loop_names = tuple(q for q in scalars if q not in scan_names)
+    if not use_stack and len(stage_scalars) >= dyn.scan_tracer_min:
+        scan_names = stage_scalars
+    loop_names = tuple(q for q in stage_scalars if q not in scan_names)
+    if final_scalars:
+        sc_fin = jnp.stack([state[q] for q in final_scalars])
+        phi_fin = mu_full_0[None, None] * sc_fin
     if use_stack:
-        sc_stack = jnp.stack([state[q] for q in scalars])
+        sc_stack = jnp.stack([state[q] for q in stage_scalars])
         phi_old_st = mu_full_0[None, None] * sc_stack
-        moist_idx = {q: scalars.index(q) for q in moist if q in scalars}
-        if any(q in pt for q in scalars):
+        moist_idx = {q: stage_scalars.index(q) for q in moist
+                     if q in stage_scalars}
+        if any(q in pt for q in stage_scalars):
             shp3 = state["t"].shape
             dtype = state["t"].dtype
             pt_stack = jnp.stack(
                 [jnp.broadcast_to(jnp.asarray(pt.get(q, 0.0), dtype), shp3)
-                 for q in scalars])
+                 for q in stage_scalars])
         else:
             pt_stack = None
         phi_old = None
@@ -204,6 +222,11 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
                 fields[q] = stage_state[q]
             if scan_names:
                 fields["_scan"] = sc_scan
+        if istage == 2 and final_scalars:
+            # chem tracers join the exchange only on the final stage (their
+            # state still holds the step-start values — exactly the phi_t
+            # the canonical final-stage flux update advects)
+            fields["_final"] = sc_fin
         gA = hx.pad_many(fields, 3)
         base_pads = ({"phb": gA["phb"], "mub": gA["mub"], "alb": gA["alb"]}
                      if grid.has_terrain else None)
@@ -430,7 +453,7 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
                 if q in moist_idx:
                     new[q] = sc_new[moist_idx[q]]
             if final:
-                for i, q in enumerate(scalars):
+                for i, q in enumerate(stage_scalars):
                     new[q] = sc_new[i]
         else:
             for q in loop_names:
@@ -481,6 +504,48 @@ def step(state: State, grid: Grid, cfg: Config, hx: HaloOps, dt: float,
                 if final:
                     for i, q in enumerate(scan_names):
                         new[q] = sc_new[i]
+
+        if final and final_scalars:
+            # ---- chem tracers: ONE final-stage flux-form update from the
+            # step-start value with the time-averaged acoustic mass fluxes
+            # and the chem_adv_opt limiter (canonical solve_em.F chem /
+            # tracer treatment); a lax.scan keeps the HLO O(1) in species
+            # count.
+            def fin_body(_, inp, mu_new=mu_full_new,
+                         ru_s=ru_s, rv_s=rv_s, ww_s=ww_s, dts=dts):
+                q_pad, phi_q = inp
+                fx, fy, fz = adv.scalar_fluxes(q_pad, ru_s, rv_s, ww_s,
+                                               h_s, v_s)
+                if dyn.chem_adv_opt == AdvLimiter.POSITIVE_DEFINITE:
+                    fx, fy, fz = adv.pd_limit(q_pad, phi_q, fx, fy, fz,
+                                              ru_s, rv_s, ww_s, dts,
+                                              grid, hx)
+                elif dyn.chem_adv_opt == AdvLimiter.MONOTONIC:
+                    fx, fy, fz = adv.mono_limit(q_pad, phi_q, mu_new,
+                                                fx, fy, fz, ru_s, rv_s,
+                                                ww_s, dts, grid, hx)
+                tend = adv.flux_div(fx, fy, fz, grid, m_h=m2_t)
+                qn = (phi_q + dts * tend) / mu_new[None]
+                if dyn.chem_adv_opt != AdvLimiter.NONE:
+                    qn = jnp.maximum(qn, 0.0)
+                return None, qn
+
+            _, fin_new = jax.lax.scan(fin_body, None, (gA["_final"], phi_fin))
+            for i, q in enumerate(final_scalars):
+                new[q] = fin_new[i]
+
+        if dyn.fft_filter_lat < 90.0:
+            # global lat-lon runs: zonally truncate the poleward rows after
+            # each stage's updates (the solve_em.F pxft call sites), sharp
+            # truncation on the dynamical fields, tapered + clipped on
+            # positive-definite scalars (dycore/polar_filter.py)
+            from wrfchem_arc_interactions_tpu.dycore.polar_filter import (
+                PolarFilter,
+            )
+            pf = PolarFilter(grid, dyn.fft_filter_lat, new["t"].shape[-1])
+            new = pf.momentum(new)
+            for q in (scalars if final else stage_scalars):
+                new[q] = pf.scalar(new[q])
 
         stage_state = new
 

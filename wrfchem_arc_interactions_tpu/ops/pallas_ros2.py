@@ -193,6 +193,19 @@ def _step_fn(kin_key, dts: float, interpret: bool):
 
     def step(conc_t, k_t):
         nt = conc_t.shape[1]
+        # Under shard_map (the production multi-chip chem path:
+        # models/driver.py jits chem_driver over the mesh) pallas_call's
+        # out_shape must carry the varying-manual-axes type of its inputs,
+        # or the trace fails the vma check.  Outside shard_map `vma` is
+        # empty and this is the same plain ShapeDtypeStruct as before.
+        try:
+            vma = frozenset(jax.typeof(conc_t).vma) | frozenset(
+                jax.typeof(k_t).vma)
+        except Exception:               # pragma: no cover
+            vma = frozenset()
+        out_shape = (jax.ShapeDtypeStruct(conc_t.shape, jnp.float32, vma=vma)
+                     if vma else
+                     jax.ShapeDtypeStruct(conc_t.shape, jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(nt,),
@@ -207,7 +220,7 @@ def _step_fn(kin_key, dts: float, interpret: bool):
             out_specs=pl.BlockSpec((ns, 1, SUBLANES, LANES),
                                    lambda i: (0, i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(conc_t.shape, jnp.float32),
+            out_shape=out_shape,
             interpret=interpret,
         )(conc_t, k_t)
 
