@@ -94,3 +94,28 @@ def test_bc_darkens_aerosol():
     vis = 9
     assert float(np.mean(np.asarray(sooty["ssa_aer_sw"][vis]))) < \
         float(np.mean(np.asarray(clean["ssa_aer_sw"][vis])))
+
+
+def test_band_scan_poly_eval_matches_unrolled():
+    """The compile-size-bounded band-scan/matmul evaluator (the production
+    path after the round-5 TPU-compile pathology fix) must reproduce the
+    unrolled scalar-Horner tensor-poly evaluation per band: same Clenshaw
+    recurrence, coefficients contracted by one (90,35) matmul instead of
+    6300 fused scalar FMAs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem import mie, optics
+
+    ptabs = mie.build_poly_tables()
+    rng = np.random.default_rng(11)
+    nband, n = 7, 64
+    nr_n = jnp.asarray(rng.uniform(0, 1, (nband, n)), jnp.float32)
+    u = jnp.asarray(rng.uniform(0, 1, (nband, n)), jnp.float32)
+    t = jnp.asarray(rng.uniform(-1, 1, (nband, n)), jnp.float32)
+
+    qe, qs, g = optics._poly_cheb_eval_bands(ptabs, nr_n, u, t)
+    for got, C in ((qe, ptabs.C_qext), (qs, ptabs.C_qsca), (g, ptabs.C_g)):
+        want = jnp.stack([optics._poly_cheb_eval(C, nr_n[b], u[b], t[b])
+                          for b in range(nband)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)

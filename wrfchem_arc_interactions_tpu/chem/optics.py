@@ -72,6 +72,61 @@ def _poly_cheb_eval(C: "np.ndarray", nr_n, u, t):
     return b0 - t * b1 - 0.5 * c0
 
 
+def _poly_cheb_eval_bands(ptabs, nr_n, u, t):
+    """All three tensor-polynomial tables evaluated for every band with a
+    compile-size-bounded graph: a `lax.scan` over the band axis whose body
+    builds the 35 monomials nr^a*u^b once, evaluates ALL 3*NCHEB Chebyshev
+    coefficients as ONE (90, 35) x (35, ncell) matmul (MXU work), and runs
+    the Clenshaw recurrence as a `fori_loop`.
+
+    Numerically equivalent to `_poly_cheb_eval` per table/band (same
+    recurrence, coefficients contracted by matmul instead of scalar
+    Horner).  The unrolled scalar-Horner form emits ~6300 elementwise ops
+    in a single fusion — XLA's TPU fusion passes go superlinear on that
+    chain and the remote compile of the optics program ran >15 min (it was
+    the dominant piece of the chem executable and the real culprit behind
+    the 'large-shard cold compile exceeds the service timeout' defect);
+    this form lowers to ~60 ops + two loops and compiles in seconds.
+
+    nr_n, u, t: (nband, *shp) normalised inputs.
+    Returns (ln_qext, ln_qsca, g), each (nband, *shp)."""
+    nch = mie.NCHEB
+    C_all = np.concatenate([ptabs.C_qext.reshape(nch, -1),
+                            ptabs.C_qsca.reshape(nch, -1),
+                            ptabs.C_g.reshape(nch, -1)])     # (3*nch, 35)
+    dtype = t.dtype
+    C = jnp.asarray(C_all, dtype)
+    shp = t.shape[1:]
+
+    def band_body(_, xs):
+        nr_b, u_b, t_b = (x.reshape(-1) for x in xs)         # (N,)
+        pr = [jnp.ones_like(nr_b)]
+        for _ in range(mie.DEG_NR - 1):
+            pr.append(pr[-1] * nr_b)
+        pu = [jnp.ones_like(u_b)]
+        for _ in range(mie.DEG_NI - 1):
+            pu.append(pu[-1] * u_b)
+        M = jnp.stack([a * b for a in pr for b in pu])       # (35, N)
+        cks = C @ M                                          # (3*nch, N)
+
+        t2 = 2.0 * t_b
+
+        def clenshaw(ck):
+            # unrolled: ~3 ops per order on (N,) buffers — with the
+            # coefficients already contracted by the matmul this is only
+            # ~90 ops/table, well under the fusion-pass blowup threshold
+            b0 = b1 = jnp.zeros_like(t_b)
+            for k in range(nch - 1, -1, -1):
+                b0, b1 = t2 * b0 - b1 + ck[k], b0
+            return (b0 - t_b * b1 - 0.5 * ck[0]).reshape(shp)
+
+        return None, tuple(clenshaw(cks[i * nch:(i + 1) * nch])
+                           for i in range(3))
+
+    _, (qe, qs, g) = lax.scan(band_body, None, (nr_n, u, t))
+    return qe, qs, g
+
+
 def _interp_coefs(tabs: mie.MieTables, nr, ni, dtype):
     """Full (NCHEB, ...) interpolated coefficient arrays (test helper)."""
     jr, wr, ji, wi = _interp_weights(nr, ni)
@@ -105,11 +160,10 @@ def bin_optics(d_wet, n_air, nr_eff, ni_eff, wavelengths_um, tabs: mie.MieTables
     nrg = mie.NR_GRID
     nr_n = (jnp.clip(nr_eff, nrg[0], nrg[-1]) - nrg[0]) / (nrg[-1] - nrg[0])
     u = (jnp.log10(jnp.clip(ni_eff, 1e-9, 1.0)) + 9.0) / 9.0
-    qe = jnp.exp(jnp.clip(
-        _poly_cheb_eval(ptabs.C_qext, nr_n, u, t), -60.0, 3.0))
-    qs = jnp.exp(jnp.clip(
-        _poly_cheb_eval(ptabs.C_qsca, nr_n, u, t), -60.0, 3.0))
-    gg = _poly_cheb_eval(ptabs.C_g, nr_n, u, t)
+    t = jnp.broadcast_to(t, nr_n.shape)
+    ln_qe, ln_qs, gg = _poly_cheb_eval_bands(ptabs, nr_n, u, t)
+    qe = jnp.exp(jnp.clip(ln_qe, -60.0, 3.0))
+    qs = jnp.exp(jnp.clip(ln_qs, -60.0, 3.0))
     qs = jnp.minimum(qs, qe)
     gg = jnp.clip(gg, 0.0, 1.0)
     area = 0.25 * jnp.pi * d_wet ** 2 * n_air
