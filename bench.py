@@ -143,7 +143,13 @@ def _run(cfg, n_warm, n_time, gas=False, windows=3):
     t_now = jnp.float32(sim.time_s)
 
     def timed(fn, n, sync_field):
-        o = None
+        # warm call + fetch first: the very first dispatch after the window
+        # loop absorbs queue-drain/launch effects that inflated the chem
+        # detail 7x in the round-5 sweep (windows are always the honest
+        # totals; this detail is best-effort attribution)
+        o = fn(s, g, t_now)
+        a = o[sync_field]
+        jax.device_get(a[(0,) * a.ndim])
         t0 = time.perf_counter()
         for _ in range(n):
             o = fn(s, g, t_now)

@@ -119,3 +119,81 @@ def test_band_scan_poly_eval_matches_unrolled():
                           for b in range(nband)])
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_mie_matches_band_scan():
+    """ops/pallas_mie.py (the TPU production Mie evaluator) must match the
+    XLA band-scan path — interpreter mode, multi-tile, realistic
+    normalised input ranges."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem import mie, optics
+    from wrfchem_arc_interactions_tpu.ops.pallas_mie import cheb_eval_pallas
+
+    G = mie.build_grid_matrix()
+    rng = np.random.default_rng(5)
+    nband, n = 7, 200                      # 1400 elements -> 2 tiles
+    nr_n = jnp.asarray(rng.uniform(0, 1, (nband, n)), jnp.float32)
+    u = jnp.asarray(rng.uniform(0, 1, (nband, n)), jnp.float32)
+    t = jnp.asarray(rng.uniform(-1, 1, (nband, n)), jnp.float32)
+
+    got = cheb_eval_pallas(nr_n, u, t, interpret=True)
+    want = optics._cheb_eval_bands(G, nr_n, u, t)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_bilinear_eval_matches_interp_coefs():
+    """The hat-weight matmul evaluator (_cheb_eval_bands) must reproduce
+    the reference gather-based bilinear interpolation (_interp_coefs +
+    cheb_eval) — same tables, same interpolation, different contraction."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem import mie, optics
+
+    tabs = mie.build_cheb_tables()
+    G = mie.build_grid_matrix()
+    rng = np.random.default_rng(9)
+    for _ in range(10):
+        nr = rng.uniform(1.26, 2.09)
+        ni = 10 ** rng.uniform(-8.9, -0.1)
+        t = rng.uniform(-1, 1)
+        cq, cs, cg = optics._interp_coefs(tabs, jnp.asarray(nr),
+                                          jnp.asarray(ni), jnp.float32)
+        want = [float(mie.cheb_eval(c, jnp.asarray(t, jnp.float32)))
+                for c in (cq, cs, cg)]
+        nr_n = (nr - mie.NR_GRID[0]) / (mie.NR_GRID[-1] - mie.NR_GRID[0])
+        u = (np.log10(ni) + 9.0) / 9.0
+        got = optics._cheb_eval_bands(
+            G, jnp.full((1, 1), nr_n, jnp.float32),
+            jnp.full((1, 1), u, jnp.float32),
+            jnp.full((1, 1), t, jnp.float32))
+        for gv, wv in zip(got, want):
+            assert abs(float(gv[0, 0]) - wv) < 1e-3 * (abs(wv) + 1), (gv, wv)
+
+
+def test_evaluator_conditioning():
+    """The round-5 correctness regression guard: one-ulp-scale input
+    perturbations must move ln Q by a proportionally tiny amount.  The
+    retired tensor-poly refit moved ln Q by O(1) under 1e-6 input noise
+    (hardware-diagnosed: two XLA programs computing identical physics
+    disagreed 2x in Q because their fused preps differed in the last ulp);
+    the hat-weight bilinear form has |d lnQ/du| <= 9 * max|C| locally."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wrfchem_arc_interactions_tpu.chem import mie, optics
+
+    G = mie.build_grid_matrix()
+    rng = np.random.default_rng(7)
+    shp = (5, 300)
+    nr_n = jnp.asarray(rng.uniform(0, 1, shp), jnp.float32)
+    u = jnp.asarray(rng.uniform(0, 1, shp), jnp.float32)
+    t = jnp.asarray(rng.uniform(-1, 1, shp), jnp.float32)
+    eps = 1e-6
+    base = optics._cheb_eval_bands(G, nr_n, u, t)
+    pert = optics._cheb_eval_bands(G, nr_n + eps, u + eps,
+                                   jnp.clip(t + eps, -1, 1))
+    for b, q in zip(base, pert):
+        d = float(jnp.max(jnp.abs(b - q)))
+        assert d < 5e-3, d

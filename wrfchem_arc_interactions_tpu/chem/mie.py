@@ -170,6 +170,32 @@ def build_poly_tables() -> PolyMieTables:
 
 
 @functools.lru_cache(maxsize=1)
+def build_grid_matrix() -> np.ndarray:
+    """(3*NCHEB, n_nr*n_ni) stacked grid tables for hat-weight evaluation.
+
+    The round-5 production evaluator: runtime computes the 80 bilinear hat
+    weights w_g(nr_n, u) (tensor product of per-axis triangle functions on
+    the uniform grids) and contracts them with this matrix in ONE matmul —
+    EXACT bilinear interpolation of the Bohren-Huffman-derived Chebyshev
+    tables, the same interpolation the canonical `binterp` performs with
+    scalar gathers [chem/module_optical_averaging.F].
+
+    This replaced the unregularized degree-(5,7) tensor-polynomial refit
+    (`build_poly_tables`): that fit is near-interpolatory on the 8x10 grid
+    and catastrophically ill-conditioned — measured on hardware, one-ulp
+    differences in the fused prep of (nr_n, u, t) moved ln Q by O(1)
+    (≈86% in Q), so two XLA programs computing the same physics disagreed
+    by 2x at specific refractive indices.  Hat weights are piecewise
+    linear (|∂w/∂u| ≤ 9), so the same ulp noise moves ln Q by ~1e-5."""
+    tabs = build_cheb_tables()
+
+    def flat(c):                              # (8, 10, NCHEB) -> (NCHEB, 80)
+        return c.reshape(-1, NCHEB).T
+    return np.concatenate([flat(tabs.coef_qext), flat(tabs.coef_qsca),
+                           flat(tabs.coef_g)]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
 def build_cheb_tables() -> MieTables:
     lnx_min, lnx_max = np.log(X_MIN), np.log(X_MAX)
     nodes_t = _cheb_nodes(NCHEB)

@@ -72,6 +72,53 @@ def _poly_cheb_eval(C: "np.ndarray", nr_n, u, t):
     return b0 - t * b1 - 0.5 * c0
 
 
+def _hat_weights(nr_n, u):
+    """The 80 bilinear hat weights over the (8, 10) refractive-index grid:
+    w_{a,b} = tri(nr_n*7 - a) * tri(u*9 - b) with tri(s) = max(0, 1-|s|).
+    Rows sum to 1 for inputs in [0, 1]; exact node interpolation."""
+    n_nr = len(mie.NR_GRID)
+    n_ni = len(mie.NI_GRID)
+    fr = nr_n * (n_nr - 1)
+    fi = u * (n_ni - 1)
+    wa = [jnp.maximum(0.0, 1.0 - jnp.abs(fr - a)) for a in range(n_nr)]
+    wb = [jnp.maximum(0.0, 1.0 - jnp.abs(fi - b)) for b in range(n_ni)]
+    return [a * b for a in wa for b in wb]
+
+
+def _cheb_eval_bands(G, nr_n, u, t):
+    """Production evaluator (XLA path): lax.scan over the band axis; the
+    body builds the 80 hat weights, contracts ALL 3*NCHEB Chebyshev
+    coefficients as ONE (90, 80) x (80, ncell) matmul — EXACT bilinear
+    interpolation of the grid tables (mie.build_grid_matrix; the
+    tensor-poly refit this replaced was ill-conditioned, see that
+    docstring) — and runs Clenshaw unrolled.
+
+    nr_n, u, t: (nband, *shp) normalised inputs.
+    Returns (ln_qext, ln_qsca, g), each (nband, *shp)."""
+    nch = mie.NCHEB
+    dtype = t.dtype
+    C = jnp.asarray(G, dtype)
+    shp = t.shape[1:]
+
+    def band_body(_, xs):
+        nr_b, u_b, t_b = (x.reshape(-1) for x in xs)         # (N,)
+        W = jnp.stack(_hat_weights(nr_b, u_b))               # (80, N)
+        cks = C @ W                                          # (3*nch, N)
+        t2 = 2.0 * t_b
+
+        def clenshaw(ck):
+            b0 = b1 = jnp.zeros_like(t_b)
+            for k in range(nch - 1, -1, -1):
+                b0, b1 = t2 * b0 - b1 + ck[k], b0
+            return (b0 - t_b * b1 - 0.5 * ck[0]).reshape(shp)
+
+        return None, tuple(clenshaw(cks[i * nch:(i + 1) * nch])
+                           for i in range(3))
+
+    _, (qe, qs, g) = lax.scan(band_body, None, (nr_n, u, t))
+    return qe, qs, g
+
+
 def _poly_cheb_eval_bands(ptabs, nr_n, u, t):
     """All three tensor-polynomial tables evaluated for every band with a
     compile-size-bounded graph: a `lax.scan` over the band axis whose body
@@ -142,6 +189,21 @@ def _interp_coefs(tabs: mie.MieTables, nr, ni, dtype):
     return interp(tabs.coef_qext), interp(tabs.coef_qsca), interp(tabs.coef_g)
 
 
+def _use_pallas() -> bool:
+    """Production Mie-evaluator backend: the VMEM kernel on TPU (it holds
+    the whole contraction on-chip — ops/pallas_mie.py; the XLA band-scan
+    measured 487 ms/call at config-4 shapes vs ~10 ms essential), the XLA
+    band-scan elsewhere.  Override with WRFCHEM_OPTICS_BACKEND=xla|pallas."""
+    import os
+    forced = os.environ.get("WRFCHEM_OPTICS_BACKEND")
+    if forced:
+        return forced == "pallas"
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:               # pragma: no cover
+        return False
+
+
 def bin_optics(d_wet, n_air, nr_eff, ni_eff, wavelengths_um, tabs: mie.MieTables):
     """Mie optics for one bin over a band axis.
 
@@ -156,12 +218,18 @@ def bin_optics(d_wet, n_air, nr_eff, ni_eff, wavelengths_um, tabs: mie.MieTables
     lnx = jnp.log(jnp.maximum(x, 1e-6))
     t = jnp.clip(2.0 * (lnx - tabs.lnx_min) / (tabs.lnx_max - tabs.lnx_min) - 1.0,
                  -1.0, 1.0)
-    ptabs = mie.build_poly_tables()
     nrg = mie.NR_GRID
     nr_n = (jnp.clip(nr_eff, nrg[0], nrg[-1]) - nrg[0]) / (nrg[-1] - nrg[0])
     u = (jnp.log10(jnp.clip(ni_eff, 1e-9, 1.0)) + 9.0) / 9.0
     t = jnp.broadcast_to(t, nr_n.shape)
-    ln_qe, ln_qs, gg = _poly_cheb_eval_bands(ptabs, nr_n, u, t)
+    if _use_pallas():
+        from wrfchem_arc_interactions_tpu.ops.pallas_mie import (
+            cheb_eval_pallas,
+        )
+        ln_qe, ln_qs, gg = cheb_eval_pallas(nr_n, u, t)
+    else:
+        ln_qe, ln_qs, gg = _cheb_eval_bands(mie.build_grid_matrix(),
+                                            nr_n, u, t)
     qe = jnp.exp(jnp.clip(ln_qe, -60.0, 3.0))
     qs = jnp.exp(jnp.clip(ln_qs, -60.0, 3.0))
     qs = jnp.minimum(qs, qe)
