@@ -197,3 +197,30 @@ def test_evaluator_conditioning():
     for b, q in zip(base, pert):
         d = float(jnp.max(jnp.abs(b - q)))
         assert d < 5e-3, d
+
+
+def test_pallas_mie_under_shard_map():
+    """The production multi-chip chem path traces cheb_eval_pallas under
+    shard_map (models/driver.py jits chem_driver over the mesh); the
+    out_shape must carry the inputs' varying-manual-axes type.  Abstract
+    eval on the production-shaped 2x4 mesh exercises the full vma
+    typecheck without TPU hardware (same pattern as the ROS2 kernel's
+    test_pallas_ros2_under_shard_map part b)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from wrfchem_arc_interactions_tpu.ops.pallas_mie import (
+        TILE, cheb_eval_pallas,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("my", "mx"))
+    n = 8 * TILE
+    spec = P(None, ("my", "mx"))
+    a = jnp.zeros((4, n), jnp.float32)
+    prod = jax.shard_map(
+        lambda x, y, z: cheb_eval_pallas(x, y, z),
+        mesh=mesh, in_specs=(spec,) * 3, out_specs=(spec,) * 3)
+    outs = jax.eval_shape(prod, a, a, a)
+    for o in outs:
+        assert o.shape == a.shape and o.dtype == a.dtype
